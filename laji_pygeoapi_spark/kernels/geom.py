@@ -1,0 +1,608 @@
+"""Computational-geometry kernel (pure numpy) — the engine's shapely stand-in.
+
+Implements exactly the geometry semantics the reference uses:
+
+* validity test + repair       (reference ``process_data.py:25-39`` via shapely
+  ``is_valid`` / ``make_valid``): bowtie ring split, overlapping-multipolygon
+  union, hole-outside-shell difference;
+* GeometryCollection -> Multi* / dissolved MultiPolygon conversion matrix
+  (reference ``process_data.py:132-181``);
+* point/line buffering (n-gon circles / capsules) used by that conversion;
+* vectorized point-in-polygon (even-odd ray casting) — the core of the
+  broadcast spatial join that replaces PostGIS GIST lookups
+  (reference ``edit_db.py:307-311``).
+
+Boolean ops use a Greiner–Hormann-style clipper for simple polygons with a
+convex-hull fallback for degenerate inputs; divergences from shapely's exact
+semantics are limited to degenerate self-touching inputs and are documented in
+tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import wkb
+
+_EPS = 1e-12
+
+
+# ------------------------------------------------------------------ basics
+
+def ring_area(ring: np.ndarray) -> float:
+    x, y = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = np.roll(ring[:-1], -1, axis=0).T
+    return float((x * y1 - x1 * y).sum() / 2.0)
+
+
+def _seg_intersection(p1, p2, p3, p4):
+    """Proper intersection point of segments p1p2 and p3p4, or None."""
+    d1 = p2 - p1
+    d2 = p4 - p3
+    denom = d1[0] * d2[1] - d1[1] * d2[0]
+    if abs(denom) < _EPS:
+        return None
+    t = ((p3[0] - p1[0]) * d2[1] - (p3[1] - p1[1]) * d2[0]) / denom
+    u = ((p3[0] - p1[0]) * d1[1] - (p3[1] - p1[1]) * d1[0]) / denom
+    if -_EPS < t < 1 + _EPS and -_EPS < u < 1 + _EPS:
+        if _EPS < t < 1 - _EPS or _EPS < u < 1 - _EPS:  # not merely endpoint touch
+            return p1 + t * d1
+    return None
+
+
+def ring_self_intersections(ring: np.ndarray):
+    """Proper self-intersection points of a closed ring (O(n^2), rings are small)."""
+    pts = []
+    n = len(ring) - 1
+    for i in range(n):
+        for j in range(i + 1, n):
+            if j == i or (j + 1) % n == i or (i + 1) % n == j:
+                continue  # adjacent edges share endpoints
+            p = _seg_intersection(ring[i], ring[i + 1], ring[j], ring[j + 1])
+            if p is not None:
+                pts.append(p)
+    return pts
+
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray casting of many points against one ring."""
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    px = px[:, None]
+    py = py[:, None]
+    cond = ((y0 > py) != (y1 > py))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+    crossings = (cond & (px < xint)).sum(axis=1)
+    return (crossings % 2).astype(bool)
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, geom) -> np.ndarray:
+    """Even-odd containment over all rings — handles holes and MultiPolygon."""
+    kind, payload = geom
+    rings = payload if kind == "Polygon" else [r for rings in payload for r in rings]
+    inside = np.zeros(len(px), dtype=np.int64)
+    minx, miny, maxx, maxy = wkb.bounds(geom)
+    mask = (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
+    if not mask.any():
+        return mask
+    idx = np.nonzero(mask)[0]
+    for ring in rings:
+        inside[idx] += points_in_ring(px[idx], py[idx], ring).astype(np.int64)
+    return (inside % 2).astype(bool)
+
+
+def point_in_polygon(x: float, y: float, geom) -> bool:
+    return bool(points_in_polygon(np.array([x]), np.array([y]), geom)[0])
+
+
+# ------------------------------------------------------------------ validity
+
+def is_valid(geom) -> bool:
+    """Validity subset matching the reference's test matrix
+    (``tests/test_process_data.py:35-44``)."""
+    if geom is None:
+        return True
+    kind, payload = geom
+    if kind == "Polygon":
+        return _polygon_valid(payload)
+    if kind == "MultiPolygon":
+        for rings in payload:
+            if not _polygon_valid(rings):
+                return False
+        # overlapping component polygons -> invalid
+        for i in range(len(payload)):
+            for j in range(i + 1, len(payload)):
+                if _polys_overlap(payload[i], payload[j]):
+                    return False
+        return True
+    if kind == "GeometryCollection":
+        return all(is_valid(g) for g in payload)
+    return True
+
+
+def _polygon_valid(rings) -> bool:
+    for ring in rings:
+        if len(ring) < 4:
+            return False
+        if ring_self_intersections(ring):
+            return False
+    shell = rings[0]
+    for hole in rings[1:]:
+        # every hole vertex must be inside (or on) the shell
+        inside = points_in_ring(hole[:-1, 0], hole[:-1, 1], shell)
+        if not inside.all():
+            return False
+    return True
+
+
+def _polys_overlap(rings_a, rings_b) -> bool:
+    a, b = ("Polygon", rings_a), ("Polygon", rings_b)
+    ax0, ay0, ax1, ay1 = wkb.bounds(a)
+    bx0, by0, bx1, by1 = wkb.bounds(b)
+    if ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0:
+        return False
+    # interior sample test: any vertex of one strictly inside the other
+    for rs, other in ((rings_a, b), (rings_b, a)):
+        v = rs[0][:-1]
+        strict = points_in_polygon(v[:, 0], v[:, 1], other)
+        on_edge = np.array([_on_boundary(p, other) for p in v])
+        if (strict & ~on_edge).any():
+            return True
+    # proper edge crossings
+    for e1 in _edges(rings_a[0]):
+        for e2 in _edges(rings_b[0]):
+            if _seg_intersection(*e1, *e2) is not None:
+                return True
+    return False
+
+
+def _edges(ring):
+    return [(ring[i], ring[i + 1]) for i in range(len(ring) - 1)]
+
+
+def _on_boundary(p, geom) -> bool:
+    kind, payload = geom
+    rings = payload if kind == "Polygon" else [r for rr in payload for r in rr]
+    for ring in rings:
+        d = ring[1:] - ring[:-1]
+        w = p[None, :] - ring[:-1]
+        cross = d[:, 0] * w[:, 1] - d[:, 1] * w[:, 0]
+        dot = d[:, 0] * w[:, 0] + d[:, 1] * w[:, 1]
+        ll = (d * d).sum(axis=1)
+        on = (np.abs(cross) < 1e-9) & (dot > -1e-9) & (dot < ll + 1e-9)
+        if on.any():
+            return True
+    return False
+
+
+# ------------------------------------------------------------------ repair
+
+def make_valid(geom):
+    """Repair semantics matching shapely.make_valid for the reference's cases:
+
+    * self-intersecting (bowtie) ring  -> split at crossing nodes into simple
+      sub-rings -> MultiPolygon of positive-area parts;
+    * MultiPolygon with overlapping parts -> iterative union;
+    * hole escaping its shell -> shell minus hole (difference).
+    """
+    if geom is None or is_valid(geom):
+        return geom
+    kind, payload = geom
+    if kind == "Polygon":
+        return _repair_polygon(payload)
+    if kind == "MultiPolygon":
+        parts = []
+        for rings in payload:
+            fixed = ("Polygon", rings) if _polygon_valid(rings) else _repair_polygon(rings)
+            parts.extend(_as_polygon_list(fixed))
+        merged = _union_many([("Polygon", p) for p in parts])
+        return merged
+    if kind == "GeometryCollection":
+        return ("GeometryCollection", [make_valid(g) for g in payload])
+    return geom
+
+
+def _as_polygon_list(geom):
+    if geom is None:
+        return []
+    if geom[0] == "Polygon":
+        return [geom[1]]
+    if geom[0] == "MultiPolygon":
+        return list(geom[1])
+    return []
+
+
+def _repair_polygon(rings):
+    shell = rings[0]
+    shell_parts = _split_self_intersecting_ring(shell)
+    if len(rings) > 1:
+        # subtract each (clipped) hole from each shell part
+        result = [("Polygon", [p]) for p in shell_parts]
+        for hole in rings[1:]:
+            hole_parts = _split_self_intersecting_ring(hole)
+            for hp in hole_parts:
+                result = [piece for poly in result for piece in
+                          _as_list(difference(poly, ("Polygon", [hp])))]
+        return _collect_polys(result)
+    if len(shell_parts) == 1:
+        return ("Polygon", [shell_parts[0]])
+    return ("MultiPolygon", [[p] for p in shell_parts])
+
+
+def _as_list(geom):
+    if geom is None:
+        return []
+    if geom[0] == "MultiPolygon":
+        return [("Polygon", rings) for rings in geom[1]]
+    return [geom]
+
+
+def _collect_polys(polys):
+    polys = [p for p in polys if p is not None]
+    if not polys:
+        return None
+    if len(polys) == 1:
+        return polys[0]
+    return ("MultiPolygon", [p[1] for p in polys])
+
+
+def _split_self_intersecting_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """Insert self-intersection nodes, then peel simple loops off a stack."""
+    inters = ring_self_intersections(ring)
+    if not inters:
+        return [wkb._close_ring(ring)]
+    # insert nodes on each edge, ordered by t along the edge
+    pts = []
+    n = len(ring) - 1
+    for i in range(n):
+        pts.append(ring[i])
+        a, b = ring[i], ring[i + 1]
+        d = b - a
+        ts = []
+        for q in inters:
+            ll = (d * d).sum()
+            if ll < _EPS:
+                continue
+            t = ((q - a) @ d) / ll
+            if _EPS < t < 1 - _EPS:
+                proj = a + t * d
+                if np.hypot(*(proj - q)) < 1e-9:
+                    ts.append((t, q))
+        for _, q in sorted(ts, key=lambda z: z[0]):
+            pts.append(q)
+    pts.append(ring[-1])
+    # peel loops: when a coordinate repeats, pop the enclosed loop
+    out = []
+    stack: list[np.ndarray] = []
+    keys: list[tuple] = []
+    for p in pts:
+        key = (round(float(p[0]), 9), round(float(p[1]), 9))
+        if key in keys:
+            j = keys.index(key)
+            loop = stack[j:] + [p]
+            if len(loop) >= 4:
+                loop_arr = np.vstack(loop)
+                if abs(ring_area(loop_arr)) > _EPS:
+                    out.append(loop_arr)
+            del stack[j + 1:]
+            del keys[j + 1:]
+        else:
+            stack.append(p)
+            keys.append(key)
+    if len(stack) >= 3:
+        loop_arr = wkb._close_ring(np.vstack(stack))
+        if len(loop_arr) >= 4 and abs(ring_area(loop_arr)) > _EPS:
+            out.append(loop_arr)
+    return out if out else [wkb._close_ring(ring)]
+
+
+# ------------------------------------------------------------------ clipping
+
+def _poly_pts(geom):
+    return geom[1][0][:-1]  # open shell
+
+
+def _gh_clip(subj: np.ndarray, clip: np.ndarray, op: str):
+    """Greiner–Hormann-style boolean op on two simple open rings.
+
+    op in {'union','intersection','difference'}.  Returns list of open rings.
+    Falls back to None on degenerate input (caller handles).
+    """
+    subj = _ensure_ccw(subj)
+    clip = _ensure_ccw(clip)
+
+    def build(poly_a, poly_b):
+        verts = []
+        na = len(poly_a)
+        for i in range(na):
+            verts.append({"pt": poly_a[i], "inter": False})
+            a1, a2 = poly_a[i], poly_a[(i + 1) % na]
+            hits = []
+            nb = len(poly_b)
+            for j in range(nb):
+                b1, b2 = poly_b[j], poly_b[(j + 1) % nb]
+                p = _seg_intersection(a1, a2, b1, b2)
+                if p is not None:
+                    d = a2 - a1
+                    ll = (d * d).sum()
+                    t = ((p - a1) @ d) / ll if ll > 0 else 0.0
+                    hits.append((t, p))
+            for t, p in sorted(hits, key=lambda z: z[0]):
+                verts.append({"pt": p, "inter": True})
+        return verts
+
+    la = build(subj, clip)
+    lb = build(clip, subj)
+    inters_a = [v for v in la if v["inter"]]
+    if not inters_a:
+        return None  # no crossings — disjoint or containment; caller decides
+
+    # pair intersection vertices by coordinates
+    def key(p):
+        return (round(float(p[0]), 9), round(float(p[1]), 9))
+
+    bmap = {}
+    for idx, v in enumerate(lb):
+        if v["inter"]:
+            bmap.setdefault(key(v["pt"]), []).append(idx)
+    for idx, v in enumerate(la):
+        if v["inter"]:
+            k = key(v["pt"])
+            if not bmap.get(k):
+                return None
+            v["link"] = bmap[k].pop(0)
+            lb[v["link"]]["link"] = idx
+
+    # entry/exit flags
+    def mark(lst, other_ring, invert):
+        inside = point_in_polygon(
+            *((lst[0]["pt"] + lst[1]["pt"]) / 2 if False else lst[0]["pt"]),
+            ("Polygon", [wkb._close_ring(np.vstack([other_ring, other_ring[:1]]))]),
+        )
+        entry = not inside
+        if invert:
+            entry = not entry
+        for v in lst:
+            if v["inter"]:
+                v["entry"] = entry
+                entry = not entry
+
+    if op == "union":
+        mark(la, clip, invert=True)
+        mark(lb, subj, invert=True)
+    elif op == "intersection":
+        mark(la, clip, invert=False)
+        mark(lb, subj, invert=False)
+    else:  # difference = subj minus clip
+        mark(la, clip, invert=True)
+        mark(lb, subj, invert=False)
+
+    unprocessed = {i for i, v in enumerate(la) if v["inter"]}
+    results = []
+    guard = 0
+    while unprocessed and guard < 10000:
+        start = min(unprocessed)
+        ring_pts = []
+        cur_list, cur_idx, on_a = la, start, True
+        while guard < 10000:
+            guard += 1
+            v = cur_list[cur_idx]
+            if on_a and cur_idx in unprocessed:
+                unprocessed.discard(cur_idx)
+            ring_pts.append(v["pt"])
+            if v["inter"]:
+                forward = v["entry"]
+                nxt = cur_idx
+                n = len(cur_list)
+                while True:
+                    nxt = (nxt + 1) % n if forward else (nxt - 1) % n
+                    ring_pts.append(cur_list[nxt]["pt"])
+                    if cur_list[nxt]["inter"]:
+                        break
+                # switch lists
+                cur_idx = cur_list[nxt]["link"]
+                cur_list = lb if on_a else la
+                on_a = not on_a
+                if on_a and cur_idx == start:
+                    break
+                v2 = cur_list[cur_idx]
+                if len(ring_pts) > 2 and key(v2["pt"]) == key(la[start]["pt"]):
+                    break
+            else:  # pragma: no cover
+                break
+        if len(ring_pts) >= 3:
+            arr = np.vstack(ring_pts)
+            dedup = [arr[0]]
+            for p in arr[1:]:
+                if np.hypot(*(p - dedup[-1])) > 1e-9:
+                    dedup.append(p)
+            if len(dedup) >= 3:
+                results.append(np.vstack(dedup))
+    return results or None
+
+
+def _ensure_ccw(pts: np.ndarray) -> np.ndarray:
+    closed = wkb._close_ring(pts)
+    if ring_area(closed) < 0:
+        return pts[::-1].copy()
+    return pts
+
+
+def _fallback_hull(polys):
+    pts = np.vstack([_poly_pts(p) for p in polys])
+    return ("Polygon", [wkb._close_ring(convex_hull(pts))])
+
+
+def union(a, b):
+    """Union of two simple polygons (no holes)."""
+    pa, pb = _poly_pts(a), _poly_pts(b)
+    rings = _gh_clip(pa, pb, "union")
+    if rings is None:
+        # disjoint or containment
+        if points_in_polygon(pa[:1, 0], pa[:1, 1], b)[0]:
+            return b
+        if points_in_polygon(pb[:1, 0], pb[:1, 1], a)[0]:
+            return a
+        return ("MultiPolygon", [a[1], b[1]])
+    rings = [r for r in rings if abs(ring_area(wkb._close_ring(r))) > _EPS]
+    if not rings:
+        return _fallback_hull([a, b])
+    outer = max(rings, key=lambda r: abs(ring_area(wkb._close_ring(r))))
+    return ("Polygon", [wkb._close_ring(outer)])
+
+
+def difference(a, b):
+    """a minus b for simple polygons (no holes in inputs)."""
+    pa, pb = _poly_pts(a), _poly_pts(b)
+    rings = _gh_clip(pa, pb, "difference")
+    if rings is None:
+        if points_in_polygon(pa[:1, 0], pa[:1, 1], b)[0]:
+            return None  # a fully inside b
+        if points_in_polygon(pb[:1, 0], pb[:1, 1], a)[0]:
+            return ("Polygon", [wkb._close_ring(pa), wkb._close_ring(pb)])  # hole
+        return a
+    rings = [wkb._close_ring(r) for r in rings]
+    rings = [r for r in rings if abs(ring_area(r)) > _EPS]
+    if not rings:
+        return None
+    if len(rings) == 1:
+        return ("Polygon", [rings[0]])
+    return ("MultiPolygon", [[r] for r in rings])
+
+
+def _union_many(polys):
+    """Iterative pairwise union; convex-hull fallback on clipper failure."""
+    parts = list(polys)
+    changed = True
+    guard = 0
+    while changed and guard < 100:
+        guard += 1
+        changed = False
+        out = []
+        while parts:
+            cur = parts.pop()
+            merged = False
+            for i, other in enumerate(out):
+                if _polys_bbox_overlap(cur, other) and _polys_overlap(cur[1], other[1]):
+                    try:
+                        u = union(cur, other)
+                    except Exception:
+                        u = _fallback_hull([cur, other])
+                    if u[0] == "MultiPolygon":
+                        u = _fallback_hull([cur, other])
+                    out[i] = u
+                    merged = True
+                    changed = True
+                    break
+            if not merged:
+                out.append(cur)
+        parts = out
+    return _collect_polys(parts)
+
+
+def _polys_bbox_overlap(a, b) -> bool:
+    ax0, ay0, ax1, ay1 = wkb.bounds(a)
+    bx0, by0, bx1, by1 = wkb.bounds(b)
+    return not (ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0)
+
+
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain."""
+    pts = np.unique(pts, axis=0)
+    if len(pts) <= 2:
+        return pts
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def half(seq):
+        h = []
+        for p in seq:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.vstack(lower[:-1] + upper[:-1])
+
+
+# ------------------------------------------------------------------ buffer
+
+def buffer_geom(geom, dist: float, segments: int = 16):
+    """Buffer points/lines to polygons (circle n-gons / capsules).
+
+    Used only by the GeometryCollection->MultiPolygon conversion
+    (reference ``process_data.py:163-166`` buffers with shapely ``buffer``);
+    the n-gon approximation is documented engine behavior.
+    """
+    kind, payload = geom
+    ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    circ = np.stack([np.cos(ang), np.sin(ang)], axis=1) * dist
+    if kind == "Point":
+        return ("Polygon", [wkb._close_ring(payload[None, :] + circ)])
+    if kind == "MultiPoint":
+        return _union_many([buffer_geom(("Point", np.asarray(p)), dist, segments) for p in payload]) \
+            or ("MultiPolygon", [])
+    if kind == "LineString":
+        # capsule = convex hull per segment, unioned
+        parts = []
+        for i in range(len(payload) - 1):
+            seg = payload[i:i + 2]
+            cloud = np.vstack([seg[0] + circ, seg[1] + circ])
+            parts.append(("Polygon", [wkb._close_ring(convex_hull(cloud))]))
+        return _union_many(parts) if parts else None
+    if kind == "MultiLineString":
+        return _union_many([buffer_geom(("LineString", l), dist, segments) for l in payload])
+    return geom
+
+
+# ------------------------------------------------------- GC conversion
+
+def convert_geometry_collection(geom, buffer_distance: float = 0.5):
+    """Reference conversion matrix (``process_data.py:132-181``):
+
+    * single-member collection  -> the member itself
+    * homogeneous members       -> Multi* of the members
+    * mixed                     -> buffer points/lines, dissolve, MultiPolygon
+
+    Returns (converted_geom, was_converted).
+    """
+    if geom is None or geom[0] != "GeometryCollection":
+        return geom, False
+    members = geom[1]
+    if len(members) == 1:
+        return members[0], True
+    types = {g[0] for g in members}
+    if types == {"LineString"}:
+        return ("MultiLineString", [g[1] for g in members]), True
+    if types == {"Point"}:
+        return ("MultiPoint", [g[1] for g in members]), True
+    if types == {"Polygon"}:
+        return ("MultiPolygon", [g[1] for g in members]), True
+    if types == {"MultiLineString"}:
+        return ("MultiLineString", [l for g in members for l in g[1]]), True
+    if types == {"MultiPoint"}:
+        return ("MultiPoint", [p for g in members for p in g[1]]), True
+    if types == {"MultiPolygon"}:
+        return ("MultiPolygon", [rings for g in members for rings in g[1]]), True
+    polys = []
+    for g in members:
+        if g[0] in ("Point", "LineString", "MultiPoint", "MultiLineString"):
+            b = buffer_geom(g, buffer_distance)
+            if b is not None:
+                polys.extend(_as_list(b) if b[0] != "MultiPolygon" else
+                             [("Polygon", rings) for rings in b[1]])
+        elif g[0] == "Polygon":
+            polys.append(g)
+        elif g[0] == "MultiPolygon":
+            polys.extend(("Polygon", rings) for rings in g[1])
+    if not polys:
+        return None, True
+    dissolved = _union_many(polys)
+    if dissolved is None:
+        return None, True
+    if dissolved[0] == "Polygon":
+        return ("MultiPolygon", [dissolved[1]]), True
+    return dissolved, True

@@ -1,0 +1,123 @@
+"""Geometry kernel tests — ports of the reference's geometry test matrix.
+
+Reference cases: ``pygeoapi/tests/test_process_data.py:35-44`` (make_valid),
+``:75-92`` (GeometryCollection conversion).
+"""
+
+import numpy as np
+import pytest
+
+from laji_pygeoapi_spark.kernels import geom, wkb
+
+
+def test_validity_matrix_matches_reference():
+    valid_line = wkb.linestring([(0, 0), (1, 1)])
+    valid_point = wkb.point(2, 2)
+    bowtie = wkb.polygon([(0, 0), (2, 0), (0, 2), (2, 2), (0, 0)])
+    overlap_mp = wkb.multipolygon([
+        [[(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]],
+        [[(1, 1), (3, 1), (3, 3), (1, 3), (1, 1)]],
+    ])
+    bad_hole = wkb.polygon([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)],
+                           holes=[[(2, 2), (6, 2), (6, 6), (2, 6), (2, 2)]])
+    geoms = [valid_line, valid_point, bowtie, overlap_mp, bad_hole]
+    validity = [geom.is_valid(g) for g in geoms]
+    assert validity == [True, True, False, False, False]
+    # reference golden: exactly 3 repaired, all valid afterwards
+    fixed = [g if v else geom.make_valid(g) for g, v in zip(geoms, validity)]
+    assert sum(1 for v in validity if not v) == 3
+    assert all(geom.is_valid(f) for f in fixed)
+
+
+def test_bowtie_split_produces_two_triangles():
+    bowtie = wkb.polygon([(0, 0), (2, 0), (0, 2), (2, 2), (0, 0)])
+    fixed = geom.make_valid(bowtie)
+    assert fixed[0] == "MultiPolygon"
+    areas = sorted(abs(geom.ring_area(r[0])) for r in fixed[1])
+    assert len(areas) == 2
+    assert areas == pytest.approx([1.0, 1.0])  # two unit triangles
+
+
+def test_geometry_collection_conversion_matrix():
+    point = wkb.point(1, 1)
+    line = wkb.linestring([(0, 0), (1, 1)])
+    poly = wkb.polygon([(0, 0), (1, 0), (1, 1), (0, 1)])
+    cases = [
+        wkb.collection([point, line]),   # mixed -> buffered MultiPolygon
+        wkb.collection([poly]),          # single member -> unwrapped
+        wkb.collection([point, poly]),   # mixed -> MultiPolygon
+        None,
+        poly,                            # not a collection -> untouched
+    ]
+    expected = ["MultiPolygon", "Polygon", "MultiPolygon", None, "Polygon"]
+    count = 0
+    for case, exp in zip(cases, expected):
+        out, converted = geom.convert_geometry_collection(case, 0.5)
+        count += converted
+        assert (out[0] if out else None) == exp
+    assert count == 3
+
+
+def test_homogeneous_collection_variants():
+    l1 = wkb.linestring([(0, 0), (1, 1)])
+    l2 = wkb.linestring([(2, 2), (3, 3)])
+    out, _ = geom.convert_geometry_collection(wkb.collection([l1, l2]))
+    assert out[0] == "MultiLineString" and len(out[1]) == 2
+    p1, p2 = wkb.point(0, 0), wkb.point(1, 1)
+    out, _ = geom.convert_geometry_collection(wkb.collection([p1, p2]))
+    assert out[0] == "MultiPoint" and len(out[1]) == 2
+    poly = wkb.polygon([(0, 0), (1, 0), (1, 1)])
+    out, _ = geom.convert_geometry_collection(wkb.collection([poly, poly]))
+    assert out[0] == "MultiPolygon" and len(out[1]) == 2
+
+
+def test_points_in_polygon_with_hole():
+    donut = wkb.polygon([(0, 0), (10, 0), (10, 10), (0, 10)],
+                        holes=[[(4, 4), (6, 4), (6, 6), (4, 6)]])
+    px = np.array([5.0, 2.0, 11.0, 5.0])
+    py = np.array([5.0, 2.0, 5.0, 4.5])
+    got = geom.points_in_polygon(px, py, donut)
+    assert got.tolist() == [False, True, False, False]
+
+
+def test_points_in_multipolygon():
+    mp = wkb.multipolygon([
+        [[(0, 0), (2, 0), (2, 2), (0, 2)]],
+        [[(5, 5), (7, 5), (7, 7), (5, 7)]],
+    ])
+    px = np.array([1.0, 6.0, 3.5])
+    py = np.array([1.0, 6.0, 3.5])
+    assert geom.points_in_polygon(px, py, mp).tolist() == [True, True, False]
+
+
+def test_wkb_roundtrip_all_kinds():
+    geoms = [
+        wkb.point(1.5, -2.5),
+        wkb.linestring([(0, 0), (1, 1), (2, 0)]),
+        wkb.polygon([(0, 0), (4, 0), (4, 4), (0, 4)], holes=[[(1, 1), (2, 1), (2, 2), (1, 2)]]),
+        wkb.multipoint([(0, 0), (1, 1)]),
+        wkb.multilinestring([[(0, 0), (1, 1)], [(2, 2), (3, 3)]]),
+        wkb.multipolygon([[[(0, 0), (1, 0), (1, 1)]], [[(5, 5), (6, 5), (6, 6)]]]),
+        wkb.collection([wkb.point(9, 9), wkb.linestring([(0, 0), (1, 0)])]),
+    ]
+    for g in geoms:
+        back = wkb.loads(wkb.dumps(g))
+        assert back[0] == g[0]
+        assert wkb.bounds(back) == pytest.approx(wkb.bounds(g))
+
+
+def test_geom_kind_routing():
+    # reference to_db geometry-type routing (edit_db.py:279-283)
+    assert wkb.geom_kind(wkb.point(0, 0)) == "point"
+    assert wkb.geom_kind(wkb.multipoint([(0, 0)])) == "point"
+    assert wkb.geom_kind(wkb.linestring([(0, 0), (1, 1)])) == "line"
+    assert wkb.geom_kind(wkb.multilinestring([[(0, 0), (1, 1)]])) == "line"
+    assert wkb.geom_kind(wkb.polygon([(0, 0), (1, 0), (1, 1)])) == "polygon"
+    assert wkb.geom_kind(wkb.multipolygon([[[(0, 0), (1, 0), (1, 1)]]])) == "polygon"
+    assert wkb.geom_kind(wkb.collection([wkb.point(0, 0)])) == "other"
+
+
+def test_centroid_and_bounds():
+    sq = wkb.polygon([(0, 0), (2, 0), (2, 2), (0, 2)])
+    assert wkb.centroid(sq) == pytest.approx((1.0, 1.0))
+    assert wkb.bounds(sq) == (0.0, 0.0, 2.0, 2.0)
