@@ -1,0 +1,177 @@
+"""Maintenance jobs: dedup (A1), policy group-merge (A2), metadata (A3-A6).
+
+The reference runs these as hand-written SQL inside PostGIS
+(``edit_db.py:333-460``, ``edit_metadata.py:24-86``).  Here they are Spark
+jobs over the one logical occurrence table:
+
+* dedup-keep-latest: window ``row_number`` per id ordered by load date —
+  scales as one hash shuffle on the id; no table rebuild;
+* group-merge: policy-driven ``groupBy().agg()`` built from the registry's
+  merge options, with an optional **salted two-phase** variant for hot keys
+  (Helsinki-scale skew; north rule) that is result-identical to the
+  single-phase plan (equivalence is tested);
+* determinism: the reference's FIRST/string_agg order is PostGIS physical
+  scan order (nondeterministic).  We define it as
+  ``ORDER BY Lataus_pvm DESC, Havainnon_tunniste`` — documented divergence
+  (SURVEY.md §7 parity traps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import registry
+
+DEDUP_KEY = "Havainnon_tunniste"
+ORDER_COL = "Lataus_pvm"
+
+
+def remove_duplicates(df: DataFrame, key: str = DEDUP_KEY,
+                      order: str = ORDER_COL) -> DataFrame:
+    """A1 — ``SELECT DISTINCT ON (key) * ORDER BY key, order DESC``
+    (reference ``edit_db.py:364-369``), deterministic tie-break on the key."""
+    w = Window.partitionBy(key).orderBy(F.col(order).desc_nulls_last(), F.col(key))
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def _first_key() -> Column:
+    """Deterministic 'first' ordering: latest load date wins, id tie-break."""
+    days = F.datediff(F.col(ORDER_COL), F.lit("1970-01-01"))
+    return F.struct((-F.coalesce(days, F.lit(-2147483648))).alias("d"),
+                    F.coalesce(F.col(DEDUP_KEY), F.lit("")).alias("i"))
+
+
+def _agg_expr(col: str, sort_key: Column) -> Column:
+    """AGGREGATE policy: ', '-joined non-null, non-'nan' values in
+    deterministic order (reference ``edit_db.py:418`` string_agg + FILTER)."""
+    pair = F.when(F.col(col).isNotNull() & (F.col(col) != "nan"),
+                  F.struct(sort_key.alias("k"), F.col(col).alias("v")))
+    arr = F.array_sort(F.collect_list(pair))
+    joined = F.array_join(F.transform(arr, lambda x: x["v"]), ", ")
+    return F.when(F.size(arr) > 0, joined)
+
+
+def merge_similar_observations(df: DataFrame, salted: bool = False,
+                               salt_buckets: int = 16) -> DataFrame:
+    """A2 — group-merge with CSV-driven policies (reference ``edit_db.py:381-460``).
+
+    GROUPBY columns form the key; FIRST -> min_by on the deterministic order;
+    AGGREGATE -> ordered, filtered string agg; SUM/MAX -> native aggs;
+    geometry + geom_kind -> FIRST; ``Yhdistetty`` = number of merged ids.
+
+    ``salted=True`` runs the identical aggregation in two phases with a
+    random-free salt (hash of the id) so one hot group spreads over
+    ``salt_buckets`` reducers before the final combine — same results.
+    """
+    policy = registry.merge_policy()
+    present = set(df.columns)
+    groupby_cols = [c for c in policy["GROUPBY"] if c in present]
+    firsts = [c for c in policy["FIRST"] if c in present]
+    aggs = [c for c in policy["AGGREGATE"] if c in present]
+    sums = [c for c in policy["SUM"] if c in present]
+    maxs = [c for c in policy["MAX"] if c in present]
+    extra_firsts = [c for c in ("geometry", "geom_kind", "lon", "lat") if c in present]
+    key = _first_key()
+
+    if not salted:
+        exprs: list[Column] = []
+        for c in firsts + extra_firsts:
+            exprs.append(F.min_by(F.col(c), key).alias(c))
+        for c in aggs:
+            exprs.append(_agg_expr(c, key).alias(c))
+        for c in sums:
+            exprs.append(F.sum(c).alias(c))
+        for c in maxs:
+            exprs.append(F.max(c).alias(c))
+        merged = df.groupBy(*groupby_cols).agg(*exprs)
+    else:
+        salt = (F.xxhash64(F.col(DEDUP_KEY)) % salt_buckets).alias("_salt")
+        p1: list[Column] = []
+        for c in firsts + extra_firsts:
+            p1.append(F.min_by(F.struct(key.alias("k"), F.col(c).alias("v")), key).alias(f"_f_{c}"))
+        for c in aggs:
+            pair = F.when(F.col(c).isNotNull() & (F.col(c) != "nan"),
+                          F.struct(key.alias("k"), F.col(c).alias("v")))
+            p1.append(F.collect_list(pair).alias(f"_a_{c}"))
+        for c in sums:
+            p1.append(F.sum(c).alias(f"_s_{c}"))
+        for c in maxs:
+            p1.append(F.max(c).alias(f"_m_{c}"))
+        phase1 = df.withColumn("_salt", salt).groupBy(*groupby_cols, "_salt").agg(*p1)
+        p2: list[Column] = []
+        for c in firsts + extra_firsts:
+            p2.append(F.min_by(F.col(f"_f_{c}"), F.col(f"_f_{c}.k"))["v"].alias(c))
+        for c in aggs:
+            arr = F.array_sort(F.flatten(F.collect_list(F.col(f"_a_{c}"))))
+            joined = F.array_join(F.transform(arr, lambda x: x["v"]), ", ")
+            p2.append(F.when(F.size(arr) > 0, joined).alias(c))
+        for c in sums:
+            p2.append(F.sum(f"_s_{c}").alias(c))
+        for c in maxs:
+            p2.append(F.max(f"_m_{c}").alias(c))
+        merged = phase1.groupBy(*groupby_cols).agg(*p2)
+
+    ydist = F.when(F.col(DEDUP_KEY).contains(","),
+                   F.size(F.split(F.col(DEDUP_KEY), ", "))).otherwise(F.lit(1))
+    merged = merged.withColumn("Yhdistetty", ydist.cast("long"))
+    # restore canonical column order where possible
+    ordered = [c for c in registry.output_columns() if c in merged.columns]
+    tail = [c for c in merged.columns if c not in ordered]
+    return merged.select(*ordered, *tail)
+
+
+# ------------------------------------------------------------ metadata
+
+def quality_frequency(df: DataFrame, col: str = "Aineiston_laatu") -> DataFrame:
+    """A3 — percentage histogram (reference ``edit_db.py:160-187``)."""
+    counts = df.groupBy(col).count()
+    total = Window.partitionBy()
+    return counts.select(
+        F.col(col),
+        F.round(F.col("count") * 100.0 / F.sum("count").over(total), 2).alias("percentage"),
+    )
+
+
+def temporal_extent(df: DataFrame, start: str = "Keruu_aloitus_pvm",
+                    end: str = "Keruu_lopetus_pvm"):
+    """A5 — min/max dates in RFC3339 (reference ``edit_db.py:189-212``)."""
+    row = (df.filter(F.col(start).isNotNull() | F.col(end).isNotNull())
+             .agg(F.date_format(F.min(start), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("min_date"),
+                  F.date_format(F.max(end), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("max_date"))
+             .first())
+    return (row["min_date"], row["max_date"]) if row else (None, None)
+
+
+def collection_metadata(df: DataFrame, collection_col: str = "Aineiston_tunniste") -> list[dict]:
+    """S8/A3-A6 — one OGC-Records-style manifest dict per collection
+    (reference ``edit_metadata.py:24-86``): bbox, temporal extent, count,
+    quality histogram.  Single pass per aggregate over the table."""
+    base = (df.groupBy(collection_col)
+              .agg(F.count(F.lit(1)).alias("count"),
+                   F.min("lon").alias("minx"), F.min("lat").alias("miny"),
+                   F.max("lon").alias("maxx"), F.max("lat").alias("maxy"),
+                   F.date_format(F.min("Keruu_aloitus_pvm"),
+                                 "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("min_date"),
+                   F.date_format(F.max("Keruu_lopetus_pvm"),
+                                 "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("max_date"))
+              .collect())
+    qual = (df.groupBy(collection_col, "Aineiston_laatu").count()
+              .withColumn("percentage",
+                          F.round(F.col("count") * 100.0 /
+                                  F.sum("count").over(Window.partitionBy(collection_col)), 2))
+              .collect())
+    qmap: dict[str, dict] = {}
+    for r in qual:
+        qmap.setdefault(r[collection_col], {})[r["Aineiston_laatu"]] = float(r["percentage"])
+    out = []
+    for r in sorted(base, key=lambda x: (x[collection_col] or "")):
+        out.append({
+            "collection": r[collection_col],
+            "count": r["count"],
+            "bbox": [r["minx"], r["miny"], r["maxx"], r["maxy"]],
+            "temporal": [r["min_date"], r["max_date"]],
+            "quality": qmap.get(r[collection_col], {}),
+        })
+    return out

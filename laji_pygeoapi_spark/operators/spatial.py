@@ -1,0 +1,250 @@
+"""Spatial operators: cell encoding, bbox pruning, PIP join, kNN (north rule).
+
+Scale design (10^12 rows, 1000 executors):
+
+* cell encoding is an Arrow pandas UDF over numpy — O(rows), no shuffle;
+* the occurrence table is partitioned by ``cell_prefix`` (coarse hex cell),
+  so a bbox query becomes partition pruning (`cell_prefix IN cover`) plus a
+  tight lon/lat range predicate pushed to parquet row groups — the Spark
+  equivalent of the reference's GIST index scan (``edit_db.py:309``);
+* point-in-polygon: the polygon dimension (~320 rows) is broadcast to every
+  executor once per stage and probed with vectorized even-odd ray casting —
+  a broadcast *map-side* spatial join, zero shuffle of the fact table;
+* kNN: H3-style k-ring expansion join on cell ids (broadcast the small query
+  side, explode its ring cells, hash-join on cell), then an exact haversine
+  re-rank with ``row_number() <= k`` — only candidate rows ever shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..kernels import cells as C
+from ..kernels import geom as G
+from ..kernels import wkb as W
+from ..registry import FINLAND_BBOX
+
+DEFAULT_HEX_RES = 7
+PARTITION_RES = 2  # coarse cell used as the physical partition key
+
+
+# ------------------------------------------------------------ cell encoding
+
+def hex_cell_udf(res: int):
+    @pandas_udf(T.LongType())
+    def _f(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = C.hex_cell(lon.to_numpy(np.float64), lat.to_numpy(np.float64), res)
+        return pd.Series(out)
+    return _f
+
+
+def s2_cell_udf(level: int):
+    @pandas_udf(T.LongType())
+    def _f(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = C.s2_cell(lon.to_numpy(np.float64), lat.to_numpy(np.float64), level)
+        return pd.Series(out)
+    return _f
+
+
+def tile_udf(zoom: int):
+    @pandas_udf(T.StructType([T.StructField("x", T.LongType()), T.StructField("y", T.LongType())]))
+    def _f(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        x, y = C.mercator_tile(lon.to_numpy(np.float64), lat.to_numpy(np.float64), zoom)
+        return pd.DataFrame({"x": x, "y": y})
+    return _f
+
+
+def with_cells(df: DataFrame, lon: str = "lon", lat: str = "lat",
+               hex_resolutions=(5, 6, 7, 8, 9), s2_level: int = 12,
+               zooms=()) -> DataFrame:
+    """Add hex cells (res 5-9), an S2 cell, tile keys and the partition
+    prefix in ONE fused pandas UDF pass (single Arrow round trip)."""
+    fields = [T.StructField(f"cell_r{r}", T.LongType()) for r in hex_resolutions]
+    fields.append(T.StructField(f"s2_l{s2_level}", T.LongType()))
+    fields.append(T.StructField("cell_prefix", T.LongType()))
+    for z in zooms:
+        fields += [T.StructField(f"tile_x_z{z}", T.LongType()),
+                   T.StructField(f"tile_y_z{z}", T.LongType())]
+    struct_t = T.StructType(fields)
+    res_list = tuple(hex_resolutions)
+    zs = tuple(zooms)
+
+    @pandas_udf(struct_t)
+    def enc(lo: pd.Series, la: pd.Series) -> pd.DataFrame:
+        lo_np = lo.to_numpy(np.float64)
+        la_np = la.to_numpy(np.float64)
+        data = {}
+        for r in res_list:
+            data[f"cell_r{r}"] = C.hex_cell(lo_np, la_np, r)
+        data[f"s2_l{s2_level}"] = C.s2_cell(lo_np, la_np, s2_level)
+        data["cell_prefix"] = C.hex_cell(lo_np, la_np, PARTITION_RES)
+        for z in zs:
+            x, y = C.mercator_tile(lo_np, la_np, z)
+            data[f"tile_x_z{z}"] = x
+            data[f"tile_y_z{z}"] = y
+        return pd.DataFrame(data)
+
+    df = df.withColumn("_cells", enc(F.col(lon), F.col(lat)))
+    for f in struct_t.fields:
+        df = df.withColumn(f.name, F.col(f"_cells.{f.name}"))
+    return df.drop("_cells")
+
+
+# ------------------------------------------------------------ bbox filter
+
+def bbox_predicate(minx: float, miny: float, maxx: float, maxy: float,
+                   lon: str = "lon", lat: str = "lat",
+                   cell_col: str | None = "cell_prefix"):
+    """P6 — bbox -> Column predicate.  The lon/lat range goes to parquet
+    row-group pruning; the optional cell-IN list prunes hive/Iceberg
+    partitions before any IO (the planner-generated predicate of SURVEY §4)."""
+    pred = ((F.col(lon) >= minx) & (F.col(lon) <= maxx)
+            & (F.col(lat) >= miny) & (F.col(lat) <= maxy))
+    if cell_col:
+        cover = C.hex_cells_in_bbox(minx, miny, maxx, maxy, PARTITION_RES)
+        pred = F.col(cell_col).isin([int(c) for c in cover]) & pred
+    return pred
+
+
+def bbox_filter(df: DataFrame, bbox, **kw) -> DataFrame:
+    return df.filter(bbox_predicate(*bbox, **kw))
+
+
+# --------------------------------------------------------------- PIP join
+
+def pip_join(df: DataFrame, polygons: pd.DataFrame,
+             lon: str = "lon", lat: str = "lat",
+             id_col: str = "id", out_prefix: str = "poly_",
+             extra_cols: tuple[str, ...] = ("name",)) -> DataFrame:
+    """J4 — broadcast point-in-polygon join (north rule core).
+
+    ``polygons``: driver-side pandas frame with columns
+    ``[id, name, minx, miny, maxx, maxy, wkb, ...]`` (a few hundred rows —
+    Finnish municipalities/provinces).  It is serialized into the UDF closure
+    (Spark broadcasts it with the task) and probed with numpy ray casting;
+    a per-batch bbox grid prefilter keeps the exact test to candidate rows.
+
+    Returns df + ``<out_prefix>id`` and requested extra columns. Unmatched
+    points get nulls (left join semantics).
+    """
+    polys = [(row[id_col], tuple(row[c] for c in extra_cols),
+              (row["minx"], row["miny"], row["maxx"], row["maxy"]),
+              W.loads(bytes(row["wkb"])))
+             for _, row in polygons.iterrows()]
+
+    out_t = T.StructType([T.StructField("pid", T.StringType())]
+                         + [T.StructField(f"x{i}", T.StringType()) for i in range(len(extra_cols))])
+
+    @pandas_udf(out_t)
+    def probe(lo: pd.Series, la: pd.Series) -> pd.DataFrame:
+        px = lo.to_numpy(np.float64)
+        py = la.to_numpy(np.float64)
+        n = len(px)
+        pid = np.full(n, None, dtype=object)
+        extras = [np.full(n, None, dtype=object) for _ in extra_cols]
+        unassigned = np.ones(n, dtype=bool)
+        for poly_id, extra_vals, (x0, y0, x1, y1), geom in polys:
+            cand = unassigned & (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+            if not cand.any():
+                continue
+            idx = np.nonzero(cand)[0]
+            hit = G.points_in_polygon(px[idx], py[idx], geom)
+            hit_idx = idx[hit]
+            if len(hit_idx):
+                pid[hit_idx] = poly_id
+                for arr, v in zip(extras, extra_vals):
+                    arr[hit_idx] = v
+                unassigned[hit_idx] = False
+        data = {"pid": pid}
+        for i, arr in enumerate(extras):
+            data[f"x{i}"] = arr
+        return pd.DataFrame(data)
+
+    df = df.withColumn("_pip", probe(F.col(lon), F.col(lat)))
+    df = df.withColumn(f"{out_prefix}id", F.col("_pip.pid"))
+    for i, cname in enumerate(extra_cols):
+        df = df.withColumn(f"{out_prefix}{cname}", F.col(f"_pip.x{i}"))
+    return df.drop("_pip")
+
+
+# ----------------------------------------------------------------- kNN
+
+def knn_join(spark: SparkSession, points: DataFrame, queries: pd.DataFrame,
+             k: int = 5, res: int = DEFAULT_HEX_RES, ring: int = 1,
+             lon: str = "lon", lat: str = "lat",
+             point_id: str = "image_id", max_ring: int = 64) -> DataFrame:
+    """J5 — kNN via k-ring expansion + exact haversine re-rank (north rule).
+
+    queries: pandas frame [query_id, lon, lat] (small, broadcast side).
+    Plan: queries x ring-cells exploded -> broadcast hash join on the point
+    cell id -> haversine -> row_number per query <= k.  If any query has
+    fewer than k candidates in its ring, the ring is doubled (driver-side
+    retry on the *incomplete queries only* — geometrically bounded loop).
+    """
+    pts = points.withColumn("_cell", hex_cell_udf(res)(F.col(lon), F.col(lat)))
+    pts = pts.select(point_id, lon, lat, "_cell").cache()
+    try:
+        remaining = queries
+        results = []
+        cur_ring = ring
+        while len(remaining) and cur_ring <= max_ring:
+            qcells = C.hex_kring(
+                C.hex_cell(remaining["lon"].to_numpy(), remaining["lat"].to_numpy(), res),
+                cur_ring)
+            qdf = spark.createDataFrame(pd.DataFrame({
+                "query_id": np.repeat(remaining["query_id"].to_numpy(), qcells.shape[1]),
+                "q_lon": np.repeat(remaining["lon"].to_numpy(), qcells.shape[1]),
+                "q_lat": np.repeat(remaining["lat"].to_numpy(), qcells.shape[1]),
+                "_cell": qcells.ravel(),
+            }))
+            cand = pts.join(F.broadcast(qdf), "_cell")
+            cand = cand.withColumn("dist_m", haversine_expr("q_lon", "q_lat", lon, lat))
+            w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col(point_id).asc())
+            ranked = (cand.withColumn("rank", F.row_number().over(w))
+                          .filter(F.col("rank") <= k)
+                          .select("query_id", point_id, lon, lat, "dist_m", "rank"))
+            got = ranked.groupBy("query_id").count().toPandas()
+            complete = set(got.loc[got["count"] >= k, "query_id"])
+            # a neighbor could sit just outside the ring while k were found
+            # inside it; require the k-th distance to be covered by the ring
+            ring_radius_deg = (11.0 / np.sqrt(7.0) ** res) * cur_ring
+            safe_m = ring_radius_deg * 111_000 * 0.4  # conservative cos(lat) margin
+            kth = (ranked.filter(F.col("rank") == k)
+                   .select("query_id", "dist_m").toPandas())
+            unsafe = set(kth.loc[kth["dist_m"] > safe_m, "query_id"])
+            done_ids = (complete - unsafe) if cur_ring < max_ring else set(remaining["query_id"])
+            if done_ids:
+                done_pdf = ranked.filter(F.col("query_id").isin(list(done_ids)))
+                results.append(done_pdf.toPandas())
+            remaining = remaining[~remaining["query_id"].isin(done_ids)]
+            cur_ring *= 2
+        out = pd.concat(results, ignore_index=True) if results else pd.DataFrame(
+            columns=["query_id", point_id, lon, lat, "dist_m", "rank"])
+        return spark.createDataFrame(out)
+    finally:
+        pts.unpersist()
+
+
+def haversine_expr(lon1: str, lat1: str, lon2: str, lat2: str):
+    """Exact haversine as a JVM column expression (no UDF in the re-rank)."""
+    rl1, rl2 = F.radians(F.col(lat1)), F.radians(F.col(lat2))
+    dlat = rl2 - rl1
+    dlon = F.radians(F.col(lon2)) - F.radians(F.col(lon1))
+    h = (F.sin(dlat / 2) ** 2 + F.cos(rl1) * F.cos(rl2) * F.sin(dlon / 2) ** 2)
+    return 2 * F.lit(C.EARTH_RADIUS_M) * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+
+
+# ------------------------------------------------------------ extent (A4)
+
+def extent(df: DataFrame, lon: str = "lon", lat: str = "lat"):
+    """ST_Extent equivalent (reference ``edit_db.py:140-158``)."""
+    row = df.agg(F.min(lon).alias("minx"), F.min(lat).alias("miny"),
+                 F.max(lon).alias("maxx"), F.max(lat).alias("maxy")).first()
+    if row is None or row["minx"] is None:
+        return None
+    return [row["minx"], row["miny"], row["maxx"], row["maxy"]]

@@ -84,9 +84,10 @@ COLUMNS: list[ColumnSpec] = [
     ColumnSpec("document.siteType", "", "siteType", "Seurantapaikan_tyyppi", "str", "GROUPBY"),
     ColumnSpec("gathering.stateLand", "onlyNonStateLands", "stateLand", "Valtion_maalla", "bool", "FIRST"),
     ColumnSpec("unit.linkings.taxon.threatenedStatus", "", "threatenedStatusID", "Lajiturva", "str", "FIRST"),
-    ColumnSpec("unit.linkings.taxon.vernacularName", "target", "", "Yleiskielinen_nimi", "str", "FIRST"),
+    ColumnSpec("unit.linkings.taxon.vernacularName.fi", "target", "", "Yleiskielinen_nimi", "str", "FIRST"),
     ColumnSpec("document.loadDate", "loadedSameOrAfter", "", "Lataus_pvm", "datetime", "GROUPBY"),
-    ColumnSpec("unit.linkings.taxon.informalTaxonGroups", "target", "InformalGroupName", "Elioryhma", "str", "FIRST"),
+    # the taxonomy broadcast join (J1) materializes the group name as `name`
+    ColumnSpec("name", "target", "InformalGroupName", "Elioryhma", "str", "FIRST"),
     ColumnSpec("gathering.interpretations.municipalityDisplayname", "finnishMunicipalityId", "verbatimCounty", "Kunta", "str", "FIRST"),
     ColumnSpec("", "polygon", "geometry", "geometry", "geom", ""),
     ColumnSpec("", "", "", "Esiintyman_tila", "str", "GROUPBY"),
