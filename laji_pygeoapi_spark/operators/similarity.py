@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns (driver mandate).
+
+* brute-force cosine top-k — the exact baseline: JVM ``zip_with`` +
+  ``aggregate`` dot products against a broadcast query vector, full scan,
+  ``row_number`` top-k.  No Python in the loop.
+* LSH-bucketed ANN — the scale path: sign-random-projection bucket keys
+  (computed once, storable as a column / partition key), probe only the
+  query's bucket (+ optional multi-probe neighbors), exact re-rank inside.
+
+At 10^12 rows the bucket column becomes the partition key so a query probes
+a handful of partitions (same pruning pattern as the bbox/cell design).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Dot product of two array<float/double> columns — JVM higher-order fns."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def _query_lit(vec) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def brute_force_topk(df: DataFrame, query_vec, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k against one query vector (the correctness oracle)."""
+    q = _query_lit(query_vec)
+    scored = df.select(F.col(id_col),
+                       F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def lsh_bucket_expr(vec: Column, planes: int = 8, seed: int = 1,
+                    dim: int = 16) -> Column:
+    """Sign-random-projection bucket id (0..2^planes-1) as a JVM expression.
+
+    The fixed random hyperplanes are baked in as literals (deterministic,
+    seed-pinned) — the expression form means Catalyst can compute bucket ids
+    at write time and use them for partition pruning.
+    """
+    rng = np.random.RandomState(seed)
+    h = rng.standard_normal((planes, dim))
+    bucket = F.lit(0)
+    for p in range(planes):
+        plane = F.array(*[F.lit(float(x)) for x in h[p]])
+        bit = F.when(dot_expr(vec, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def ann_topk(df: DataFrame, query_vec, k: int = 10, planes: int = 8,
+             seed: int = 1, multiprobe: int = 1,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """LSH ANN: probe the query's bucket (plus ``multiprobe`` single-bit
+    flips = the standard multi-probe trick), exact cosine re-rank inside."""
+    dim = len(query_vec)
+    rng = np.random.RandomState(seed)
+    h = rng.standard_normal((planes, dim))
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbits = (h @ qv >= 0).astype(int)
+    qbucket = int((qbits * (1 << np.arange(planes))).sum())
+    margins = np.abs(h @ qv)
+    probes = [qbucket]
+    for p in np.argsort(margins)[:multiprobe]:
+        probes.append(qbucket ^ (1 << int(p)))
+    bucketed = df.withColumn("_bucket", lsh_bucket_expr(F.col(vec_col), planes, seed, dim))
+    cand = bucketed.filter(F.col("_bucket").isin(probes))
+    q = _query_lit(query_vec)
+    scored = cand.select(F.col(id_col),
+                         F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def pairwise_topk_per_label(df: DataFrame, k: int = 3,
+                            vec_col: str = "embedding", id_col: str = "vec_id",
+                            label_col: str = "label") -> DataFrame:
+    """Per-label centroid similarity ranking — a grouped similarity op whose
+    oracle is expressible in SQL (centroid = AVG per dimension)."""
+    from pyspark.sql import Window
+    dim_df = df.select(F.size(vec_col).alias("d")).first()
+    d = dim_df["d"]
+    centroid = [F.avg(F.col(vec_col)[i]).alias(f"c{i}") for i in range(d)]
+    cents = df.groupBy(label_col).agg(*centroid)
+    cent_arr = cents.select(label_col, F.array(*[F.col(f"c{i}") for i in range(d)]).alias("centroid"))
+    joined = df.join(F.broadcast(cent_arr), label_col)
+    scored = joined.withColumn("cosine", F.round(cosine_expr(F.col(vec_col), F.col("centroid")), 6))
+    w = Window.partitionBy(label_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select(label_col, id_col, "cosine", "rank"))

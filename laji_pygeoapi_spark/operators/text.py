@@ -1,0 +1,106 @@
+"""Text-analysis operators for the training-data pipeline (driver mandate).
+
+All pure ``pyspark.sql.functions`` expressions (JVM, whole-stage codegen) —
+language-ID, quality scoring, token counting, fingerprinting.  Each has an
+ANSI-SQL oracle twin in ``__spark_entry__.oracle_sql`` so the driver's DuckDB
+comparison covers them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword seeds for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "fi": ["ja", "on", "ei", "että", "se"],
+    "sv": ["och", "att", "det", "som", "en"],
+    "de": ["der", "und", "die", "das", "ist"],
+}
+
+
+def tokenize(col: Column) -> Column:
+    """Lowercase word array on an explicit ASCII class.
+
+    The class is ASCII (not \\p{L}) so the Spark expression and the DuckDB
+    oracle SQL (`regexp_split_to_array`) produce byte-identical tokens on any
+    input — cross-engine determinism is part of the operator contract."""
+    return F.filter(F.split(F.lower(col), r"[^a-z0-9']+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (BPE-ish proxy: words + digit runs)."""
+    return F.size(tokenize(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = tokenize(col)
+    stops = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-marker language ID: the language whose markers intersect the
+    most *distinct* tokens wins; ties break in list order (en, fi, sv, de);
+    null when nothing matches (short/empty text)."""
+    toks = F.array_distinct(tokenize(col))
+    order = ["en", "fi", "sv", "de"]
+    hits = {lang: F.size(F.array_intersect(
+        toks, F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])))
+        for lang in order}
+    best_lang = F.lit(order[0])
+    best_hits = hits[order[0]]
+    for lang in order[1:]:
+        cond = hits[lang] > best_hits
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
+    return F.when(best_hits > 0, best_lang)
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0,1]: length band + punctuation
+    density + mean word length band (C4-style filters, rescaled)."""
+    n_chars = F.length(col)
+    toks = tokenize(col)
+    n_tok = F.size(toks)
+    mean_wl = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    punct = F.length(F.regexp_replace(col, r"[^.!?,;:]", ""))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 20000), 1.0).otherwise(0.3)
+    wl_ok = F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), 1.0).otherwise(0.4)
+    punct_ok = F.when(punct_ratio <= 0.1, 1.0).otherwise(0.5)
+    return F.round((len_ok + wl_ok + punct_ok) / 3.0, 4)
+
+
+def fingerprint64(col: Column) -> Column:
+    """64-bit document fingerprint: xxhash64 of the normalized token stream
+    (whitespace-collapse + lowercase) — the rolling-hash doc id."""
+    normalized = F.array_join(tokenize(col), " ")
+    return F.xxhash64(normalized)
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (for MinHash / Jaccard)."""
+    toks = tokenize(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) >= n,
+                  F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+                  ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-projection text profile: lang, tokens, chars, quality, fingerprint."""
+    t = F.col(text_col)
+    return df.withColumns({
+        "lang_pred": lang_id(t),
+        "n_tokens": token_count(t),
+        "n_chars_calc": char_count(t),
+        "quality": quality_score(t),
+        "fingerprint": fingerprint64(t),
+    })

@@ -1,0 +1,66 @@
+"""Incremental ingest — T1/T2 (SURVEY §2.10) in two idiomatic-Spark forms.
+
+The reference's incremental mechanism is a persisted ``last_update`` date +
+``loadedSameOrAfter`` filter plus blind-append-then-dedup
+(``edit_db.py:32-66``, ``main.py:185-186``).  Here:
+
+* ``stream_ingest`` — Structured Streaming over the images directory with
+  ``availableNow`` (process-everything-new-then-stop, the batch-friendly
+  trigger), checkpointed by Spark itself; each micro-batch runs the same
+  cell-encode + partitioned-append used by batch ingest, then the dedup
+  compaction job (T2) runs as a separate idempotent step.
+* ``batch_incremental`` — watermark-filtered batch append for stores where
+  the source is a snapshot table (Iceberg ``loadedSameOrAfter`` equivalent).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import table as store
+from ..sources.fixtures import IMAGES_SCHEMA
+
+
+def stream_ingest(spark: SparkSession, source_dir: str, root: str,
+                  checkpoint_dir: str | None = None) -> None:
+    """availableNow streaming append of new image files into the store.
+
+    Exactly-once per file via Spark's file-source + checkpoint tracking; the
+    foreachBatch body is the shared ingest projection so stream and batch
+    rows are bit-identical.
+    """
+    from ..plans.ingest import prepare_images
+    checkpoint_dir = checkpoint_dir or os.path.join(root, "_stream_checkpoint")
+    stream = (spark.readStream.schema(IMAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 64)
+              .parquet(source_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prepared = prepare_images(batch_df)
+        part_cols = [c for c in store.PARTITION_COLS if c in prepared.columns]
+        (prepared.repartition(*[F.col(c) for c in part_cols])
+                 .write.mode("append").partitionBy(*part_cols)
+                 .parquet(os.path.join(root, "data")))
+
+    (stream.writeStream.foreachBatch(process_batch)
+           .option("checkpointLocation", checkpoint_dir)
+           .trigger(availableNow=True)
+           .start()
+           .awaitTermination())
+
+
+def batch_incremental(spark: SparkSession, source: DataFrame, root: str,
+                      job_id: str, load_date_col: str = "load_date") -> dict:
+    """Watermark batch: filter source rows at/after the stored watermark,
+    append + manifest, advance the watermark (reference T1 semantics:
+    read-then-advance, ``edit_db.py:32-66``)."""
+    wm = store.load_watermark(root)
+    incoming = source if wm is None else source.filter(F.col(load_date_col) >= F.lit(wm))
+    doc = store.write_partitioned(incoming, root, job_id)
+    new_wm = source.agg(F.max(load_date_col)).first()[0]
+    if new_wm is not None:
+        store.save_watermark(root, str(new_wm))
+    return doc
