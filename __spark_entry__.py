@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship spatial pipeline on sf0.001;
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline ops) to a (spark, sf_dir) callable; ``oracle_sql()``
+gives the DuckDB-equivalent ANSI SQL for every SQL-expressible query.
+
+Occurrence points for the driver tables are synthesized deterministically
+from integer ids with arithmetic both engines evaluate identically:
+
+    lon = 19.083 + ((id * 2654435761) % 1048576) / 1048576.0 * 12.504
+    lat = 59.454 + ((id * 1103515245) % 1048576) / 1048576.0 * 10.638
+
+(the Finland bbox of the reference, ``edit_config.py:79``).
 """
 
 from __future__ import annotations
@@ -12,27 +19,612 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from laji_pygeoapi_spark.functions import expressions as E
+from laji_pygeoapi_spark.operators import dedup as DD
+from laji_pygeoapi_spark.operators import similarity as SIM
+from laji_pygeoapi_spark.operators import spatial as SP
+from laji_pygeoapi_spark.operators import text as TX
+
+# ----------------------------------------------------------- shared helpers
+
+# explicit CASTs keep both engines on pure-double IEEE754 chains
+# (bare decimal literals become DECIMAL types in both Spark and DuckDB)
+LON_EXPR = ("CAST(19.083 AS DOUBLE) + ((doc_id * 2654435761) % 1048576)"
+            " / CAST(1048576 AS DOUBLE) * CAST(12.504 AS DOUBLE)")
+LAT_EXPR = ("CAST(59.454 AS DOUBLE) + ((doc_id * 1103515245) % 1048576)"
+            " / CAST(1048576 AS DOUBLE) * CAST(10.638 AS DOUBLE)")
+
+BBOX = (24.5, 59.9, 28.5, 62.2)
+
+KNN_QUERIES = [(f"q{i}", 20.0 + 1.25 * i, 60.0 + 1.1 * i) for i in range(8)]
+
+LANG_MAP = {"en": "English", "fi": "Finnish", "de": "German", "zh": "Chinese"}
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic synthesized occurrence points."""
+    return (_tbl(spark, sf_dir, "documents")
+            .withColumn("lon", F.expr(LON_EXPR))
+            .withColumn("lat", F.expr(LAT_EXPR)))
+
+
+_PTS_CTE = f"""pts AS (
+    SELECT doc_id, {LON_EXPR} AS lon, {LAT_EXPR} AS lat FROM documents
+)"""
+
+# municipality grid (4x5 over the Finland bbox) — mirrors fixtures.municipalities_pdf
+_MUNI_NAMES = [
+    "Helsinki", "Espoo", "Kuhmo", "Nurmes", "Puolanka", "Vantaa", "Tampere",
+    "Turku", "Oulu", "Kuopio", "Rovaniemi", "Inari", "Utsjoki", "Jyväskylä",
+    "Lahti", "Pori", "Vaasa", "Joensuu", "Mikkeli", "Kouvola",
+]
+_MUNI_VALUES = ", ".join(f"({i}, '{n}')" for i, n in enumerate(_MUNI_NAMES))
+_FIN = (19.083, 59.454, 31.587, 70.092)
+
+_TOKENS_SQL = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), "
+               "x -> x <> '')")
+
+
+# ================================================================ queries
+
+def q_bbox_filter(spark, sf_dir):
+    """P6 — bbox predicate over synthesized points (pushdown-friendly)."""
+    pts = _points(spark, sf_dir)
+    return (pts.filter((F.col("lon") >= BBOX[0]) & (F.col("lon") <= BBOX[2])
+                       & (F.col("lat") >= BBOX[1]) & (F.col("lat") <= BBOX[3]))
+               .select("doc_id"))
+
+
+def q_pip_municipality(spark, sf_dir):
+    """J4 — broadcast STRtree-style PIP join, municipality histogram."""
+    from laji_pygeoapi_spark.sources import fixtures
+    pts = _points(spark, sf_dir)
+    joined = SP.pip_join(pts, fixtures.municipalities_pdf(), extra_cols=("name",))
+    return (joined.groupBy(F.col("poly_name").alias("municipality"))
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def q_knn(spark, sf_dir):
+    """J5 — kNN via hex k-ring expansion + exact haversine re-rank."""
+    import pandas as pd
+    pts = _points(spark, sf_dir).withColumnRenamed("doc_id", "pid")
+    queries = pd.DataFrame(KNN_QUERIES, columns=["query_id", "lon", "lat"])
+    out = SP.knn_join(spark, pts, queries, k=5, res=5, ring=2, point_id="pid")
+    return out.select("query_id", F.col("pid").alias("doc_id"), "rank")
+
+
+def q_hex_cells(spark, sf_dir):
+    """G7-analog — hex cell encoding (res 6) histogram."""
+    pts = _points(spark, sf_dir)
+    return (pts.withColumn("cell", SP.hex_cell_udf(6)(F.col("lon"), F.col("lat")))
+               .groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def q_s2_cells(spark, sf_dir):
+    """S2 cell encoding (level 10) histogram — no SQL oracle (Hilbert curve)."""
+    pts = _points(spark, sf_dir)
+    return (pts.withColumn("s2", SP.s2_cell_udf(10)(F.col("lon"), F.col("lat")))
+               .groupBy("s2").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def q_tiles(spark, sf_dir):
+    """Raster tile key assignment (zoom 8) histogram."""
+    pts = _points(spark, sf_dir)
+    t = SP.tile_udf(8)(F.col("lon"), F.col("lat"))
+    return (pts.withColumn("t", t)
+               .select(F.col("t.x").alias("tile_x"), F.col("t.y").alias("tile_y"))
+               .groupBy("tile_x", "tile_y").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def q_dedup_latest(spark, sf_dir):
+    """A1 — dedup-keep-latest per (user_id, event_type) on events."""
+    from pyspark.sql import Window
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (ev.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("event_id"))
+
+
+def q_merge_policies(spark, sf_dir):
+    """A2 — policy-driven group merge on lineitem (FIRST/AGGREGATE/SUM/MAX
+    + Yhdistetty merged-count)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    # fully deterministic orderings: lineitem keys are non-unique in this
+    # synthetic corpus, so tie-break down to the aggregated value itself
+    ordk = F.struct((-F.unix_date(F.to_date("l_shipdate"))).alias("d"),
+                    F.col("l_linenumber").alias("n"),
+                    F.col("l_partkey").alias("p"),
+                    F.col("l_suppkey").alias("s"),
+                    F.col("l_extendedprice").alias("e"),
+                    F.col("l_linestatus").alias("v"))
+    pair = F.struct(F.col("l_linenumber").alias("k"),
+                    F.col("l_partkey").alias("p"),
+                    F.col("l_suppkey").alias("s"),
+                    F.col("l_extendedprice").alias("e"),
+                    F.col("l_returnflag").alias("v"))
+    arr = F.array_sort(F.collect_list(pair))
+    flags = F.array_join(F.transform(arr, lambda x: x["v"]), ", ")
+    out = (li.groupBy("l_orderkey")
+             .agg(F.min_by("l_linestatus", ordk).alias("first_status"),
+                  flags.alias("flags"),
+                  F.sum("l_quantity").alias("sum_qty"),
+                  F.max("l_extendedprice").alias("max_price")))
+    return out.withColumn("merged_n", F.size(F.split(F.col("flags"), ", ")).cast("long"))
+
+
+def q_quality_histogram(spark, sf_dir):
+    """A3 — percentage histogram with grand-total window on events."""
+    from pyspark.sql import Window
+    ev = _tbl(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.select(
+        "event_type", "cnt",
+        F.round(F.col("cnt") * 100.0 / F.sum("cnt").over(Window.partitionBy()), 2)
+         .alias("percentage"))
+
+
+def q_extent(spark, sf_dir):
+    """A4 — ST_Extent equivalent over synthesized points."""
+    pts = _points(spark, sf_dir)
+    return pts.agg(F.round(F.min("lon"), 6).alias("minx"),
+                   F.round(F.min("lat"), 6).alias("miny"),
+                   F.round(F.max("lon"), 6).alias("maxx"),
+                   F.round(F.max("lat"), 6).alias("maxy"))
+
+
+def q_temporal_extent(spark, sf_dir):
+    """A5 — RFC3339 min/max timestamps on events."""
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("min_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("max_ts"))
+
+
+def q_counts_by_collection(spark, sf_dir):
+    """A6 — per-collection counts (documents.source as the collection)."""
+    return (_tbl(spark, sf_dir, "documents")
+            .groupBy("source").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def q_presence(spark, sf_dir):
+    """A7/F7 — presence bucket classification on events.value."""
+    ev = _tbl(spark, sf_dir, "events")
+    bucket = F.when(F.col("value") > 0, "paikalla").when(F.col("value") <= 0, "poissa")
+    return ev.groupBy(bucket.alias("presence")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_star_join(spark, sf_dir):
+    """J1-style broadcast dim joins: customer x nation x region."""
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    r = _tbl(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .filter(F.col("r_name") == "EUROPE")
+             .groupBy("n_name").agg(F.count(F.lit(1)).alias("cnt"),
+                                    F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
+
+
+def q_multivalue_map(spark, sf_dir):
+    """F4 — multi-value dictionary mapping with fallback-to-original quirk
+    (reference ``compute_variables.py:77``)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    cell = F.concat_ws(", ", F.col("lang"), F.col("source"))
+    mapping = F.create_map(*[F.lit(x) for kv in LANG_MAP.items() for x in kv])
+    mapped = F.array_join(
+        F.transform(F.split(cell, ", "),
+                    lambda v: F.coalesce(F.element_at(mapping, v), v)), ", ")
+    return docs.select("doc_id", mapped.alias("mapped"))
+
+
+def q_toplog(spark, sf_dir):
+    """W3 — request-log tail: latest 20 events."""
+    ev = _tbl(spark, sf_dir, "events")
+    return (ev.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(20)
+              .select("event_id", "event_type",
+                      F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_str")))
+
+
+def q_paging(spark, sf_dir):
+    """P10 — limit/offset paging on a stable sort key."""
+    return (_tbl(spark, sf_dir, "documents")
+            .orderBy("doc_id").offset(100).limit(50).select("doc_id", "source"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup on normalized text (training-data op)."""
+    from pyspark.sql import Window
+    docs = _tbl(spark, sf_dir, "documents")
+    norm = F.array_join(TX.tokenize(F.col("text")), " ")
+    w = Window.partitionBy(norm).orderBy("doc_id")
+    return (docs.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).select("doc_id"))
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard similarity of consecutive doc pairs (exact verify op)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    sh = docs.select("doc_id",
+                     F.array_distinct(TX.shingles(F.col("text"), 3)).alias("sh"))
+    a = sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a")
+    b = sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b")
+    pairs = (a.join(b, a.id_a + 1 == b.id_b)
+              .filter(F.col("id_a") % 2 == 0))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    return pairs.select("id_a", "id_b",
+                        F.round(inter.cast("double") / uni, 6).alias("jaccard"))
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash LSH near-dup candidates (numpy signatures — no SQL oracle)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return DD.minhash_lsh_candidates(docs, num_perm=64, bands=16)
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash 64-bit near-dup hash per doc — no SQL oracle."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", DD.simhash_udf()(F.col("text")).alias("simhash"))
+
+
+def q_brute_topk(spark, sf_dir):
+    """Similarity search baseline: exact cosine top-10 vs query vec_id=0."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    dbl = emb.withColumn("e", F.transform("embedding", lambda x: x.cast("double")))
+    qv = dbl.filter(F.col("vec_id") == 0).select("e").first()["e"]
+    q = F.array(*[F.lit(float(v)) for v in qv])
+    dot = F.aggregate(F.zip_with("e", q, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    nq = sum(float(v) * float(v) for v in qv) ** 0.5
+    nv = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x))
+    cos = dot / (nv * F.lit(nq))
+    return (dbl.filter(F.col("vec_id") != 0)
+               .select("vec_id", F.round(cos, 4).alias("cosine"))
+               .orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(10))
+
+
+def q_ann_topk(spark, sf_dir):
+    """LSH ANN top-10 (approximate — rows-only check; recall is tested in
+    pytest against the brute-force baseline)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    dbl = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    qv = dbl.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return SIM.ann_topk(dbl.filter(F.col("vec_id") != 0), qv, k=10,
+                        planes=6, multiprobe=3)
+
+
+def q_centroid_rank(spark, sf_dir):
+    """Per-label centroid cosine top-3 (grouped similarity)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    dbl = emb.withColumn("e", F.transform("embedding", lambda x: x.cast("double")))
+    out = SIM.pairwise_topk_per_label(dbl.select("vec_id", "label", F.col("e").alias("embedding")),
+                                      k=3)
+    # cosine is fp-accumulation-order sensitive across engines; the rank
+    # (the operator's actual contract) is the compared output
+    return out.select("label", "vec_id", "rank")
+
+
+def q_text_profile(spark, sf_dir):
+    """Language ID + token count + quality score per document."""
+    docs = _tbl(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select("doc_id", TX.lang_id(t).alias("lang_pred"),
+                       TX.token_count(t).alias("n_tokens"),
+                       TX.quality_score(t).alias("quality"))
+
+
+def q_token_histogram(spark, sf_dir):
+    docs = _tbl(spark, sf_dir, "documents")
+    return (docs.select(TX.token_count(F.col("text")).alias("n_tokens"))
+                .groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def q_hourly_rollup(spark, sf_dir):
+    """Windowed/etl rollup: events per (hour, type) with value sum."""
+    ev = _tbl(spark, sf_dir, "events")
+    # sums land on the 2-decimal grid -> .x5 rounding is fp-ambiguous across
+    # engines; integer cents are deterministic
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.round(F.sum("value") * 100, 0).cast("long").alias("sum_cents"))
+              .withColumn("hour", F.date_format("hour", "yyyy-MM-dd'T'HH:mm:ss'Z'")))
+
+
+def q_tm35fin(spark, sf_dir):
+    """G4 — CRS transform of points to EPSG:3067 (Karney series — no SQL
+    oracle; precision is pytest-verified against round-trip identity)."""
+    from laji_pygeoapi_spark.functions.geometry import to_tm35fin
+    pts = _points(spark, sf_dir)
+    return (pts.withColumn("_p", to_tm35fin(F.col("lon"), F.col("lat")))
+               .select("doc_id", F.round(F.col("_p.e"), 1).alias("e"),
+                       F.round(F.col("_p.n"), 1).alias("n")))
+
+
+def q_geojson(spark, sf_dir):
+    """S10 — GeoJSON page assembly (string output — rows-only)."""
+    from laji_pygeoapi_spark.api import features as API
+    pts = _points(spark, sf_dir).limit(100)
+    return API.to_geojson(pts, id_col="doc_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize points at sf0.001, PIP-join municipalities,
+    histogram per municipality (the bbox+PIP serving core)."""
+    return q_pip_municipality(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bbox_filter": q_bbox_filter,
+        "pip_municipality": q_pip_municipality,
+        "knn": q_knn,
+        "hex_cells": q_hex_cells,
+        "s2_cells": q_s2_cells,
+        "tiles": q_tiles,
+        "dedup_latest": q_dedup_latest,
+        "merge_policies": q_merge_policies,
+        "quality_histogram": q_quality_histogram,
+        "extent": q_extent,
+        "temporal_extent": q_temporal_extent,
+        "counts_by_collection": q_counts_by_collection,
+        "presence": q_presence,
+        "star_join": q_star_join,
+        "multivalue_map": q_multivalue_map,
+        "toplog": q_toplog,
+        "paging": q_paging,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "brute_topk": q_brute_topk,
+        "ann_topk": q_ann_topk,
+        "centroid_rank": q_centroid_rank,
+        "text_profile": q_text_profile,
+        "token_histogram": q_token_histogram,
+        "hourly_rollup": q_hourly_rollup,
+        "tm35fin": q_tm35fin,
+        "geojson": q_geojson,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    hexsz = "({0})".format("11.0 / power(sqrt(7.0), 6)")
+    asinh = "ln(tan(radians(lat)) + sqrt(tan(radians(lat))*tan(radians(lat)) + 1.0))"
+    hav = ("2.0 * 6371008.8 * asin(least(1.0, sqrt("
+           "power(sin(radians(p.lat - q.lat) / 2), 2) + cos(radians(q.lat)) * "
+           "cos(radians(p.lat)) * power(sin(radians(p.lon - q.lon) / 2), 2))))")
+    knn_vals = ", ".join(f"('q{i}', {20.0 + 1.25 * i}, {60.0 + 1.1 * i})"
+                         for i in range(8))
+    lang_case = ("CASE v WHEN 'en' THEN 'English' WHEN 'fi' THEN 'Finnish' "
+                 "WHEN 'de' THEN 'German' WHEN 'zh' THEN 'Chinese' ELSE v END")
+    markers = {
+        "en": "['the','and','of','to','in']",
+        "fi": "['ja','on','ei','että','se']",
+        "sv": "['och','att','det','som','en']",
+        "de": "['der','und','die','das','ist']",
+    }
+    hits = {l: f"len(list_intersect(list_distinct({_TOKENS_SQL}), {m}))"
+            for l, m in markers.items()}
+    lang_pred = (f"CASE WHEN greatest({hits['en']}, {hits['fi']}, {hits['sv']}, {hits['de']}) = 0 "
+                 f"THEN NULL "
+                 f"WHEN {hits['en']} >= {hits['fi']} AND {hits['en']} >= {hits['sv']} "
+                 f"AND {hits['en']} >= {hits['de']} THEN 'en' "
+                 f"WHEN {hits['fi']} >= {hits['sv']} AND {hits['fi']} >= {hits['de']} THEN 'fi' "
+                 f"WHEN {hits['sv']} >= {hits['de']} THEN 'sv' ELSE 'de' END")
+    ntok = f"len({_TOKENS_SQL})"
+    quality = (f"round(((CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END) + "
+               f"(CASE WHEN {ntok} > 0 AND length(text) * 1.0 / {ntok} BETWEEN 3.0 AND 12.0 "
+               f"THEN 1.0 ELSE 0.4 END) + "
+               f"(CASE WHEN length(text) > 0 AND "
+               f"length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / length(text) <= 0.1 "
+               f"THEN 1.0 ELSE 0.5 END)) / 3.0, 4)")
+    shingles = (f"CASE WHEN len({_TOKENS_SQL}) >= 3 THEN "
+                f"list_distinct(list_transform(range(1, len({_TOKENS_SQL}) - 1), "
+                f"i -> array_to_string(({_TOKENS_SQL})[i:i+2], ' '))) "
+                f"ELSE [array_to_string({_TOKENS_SQL}, ' ')] END")
+    return {
+        "bbox_filter": f"""
+            WITH {_PTS_CTE}
+            SELECT doc_id FROM pts
+            WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]}
+              AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}
+        """,
+        "pip_municipality": f"""
+            WITH {_PTS_CTE},
+            cells AS (
+              SELECT least(3, greatest(0, CAST(floor((lon - {_FIN[0]}) / ({_FIN[2]} - {_FIN[0]}) * 4) AS INT))) AS gx,
+                     least(4, greatest(0, CAST(floor((lat - {_FIN[1]}) / ({_FIN[3]} - {_FIN[1]}) * 5) AS INT))) AS gy
+              FROM pts
+            )
+            SELECT m.name AS municipality, count(*) AS cnt
+            FROM cells c JOIN (VALUES {_MUNI_VALUES}) m(idx, name)
+              ON c.gy * 4 + c.gx = m.idx
+            GROUP BY m.name
+        """,
+        "knn": f"""
+            WITH {_PTS_CTE},
+            q(query_id, lon, lat) AS (VALUES {knn_vals}),
+            d AS (
+              SELECT q.query_id, p.doc_id,
+                     row_number() OVER (PARTITION BY q.query_id
+                                        ORDER BY {hav} ASC, p.doc_id ASC) AS rank
+              FROM q CROSS JOIN pts p
+            )
+            SELECT query_id, doc_id, rank FROM d WHERE rank <= 5
+        """,
+        "hex_cells": f"""
+            WITH {_PTS_CTE},
+            ax AS (
+              SELECT (sqrt(3.0)/3.0 * lon - 1.0/3.0 * lat) / {hexsz} AS x,
+                     (2.0/3.0 * lat) / {hexsz} AS z
+              FROM pts
+            ),
+            r0 AS (
+              SELECT x, z, -x - z AS y,
+                     floor(x + 0.5) AS rx, floor(-x - z + 0.5) AS ry, floor(z + 0.5) AS rz
+              FROM ax
+            ),
+            fixed AS (
+              SELECT CASE WHEN abs(rx-x) > abs(ry-y) AND abs(rx-x) > abs(rz-z)
+                          THEN -ry - rz ELSE rx END AS q1,
+                     CASE WHEN NOT (abs(rx-x) > abs(ry-y) AND abs(rx-x) > abs(rz-z))
+                               AND abs(rz-z) > abs(ry-y)
+                          THEN -rx - ry ELSE rz END AS r1
+              FROM r0
+            )
+            SELECT ((CAST(6 AS BIGINT) << 56)
+                    | ((CAST(q1 AS BIGINT) + 33554432) << 28)
+                    | (CAST(r1 AS BIGINT) + 33554432)) AS cell,
+                   count(*) AS cnt
+            FROM fixed GROUP BY 1
+        """,
+        "tiles": f"""
+            WITH {_PTS_CTE},
+            t AS (
+              SELECT CAST(least(255, greatest(0, floor((lon + 180.0) / 360.0 * 256))) AS BIGINT) AS tile_x,
+                     CAST(least(255, greatest(0, floor((1.0 - ({asinh}) / pi()) / 2.0 * 256))) AS BIGINT) AS tile_y
+              FROM pts
+            )
+            SELECT tile_x, tile_y, count(*) AS cnt FROM t GROUP BY 1, 2
+        """,
+        "dedup_latest": """
+            SELECT event_id FROM (
+              SELECT event_id, row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "merge_policies": """
+            SELECT l_orderkey,
+                   first(l_linestatus ORDER BY l_shipdate DESC, l_linenumber, l_partkey,
+                         l_suppkey, l_extendedprice, l_linestatus) AS first_status,
+                   string_agg(l_returnflag, ', ' ORDER BY l_linenumber, l_partkey,
+                              l_suppkey, l_extendedprice, l_returnflag) AS flags,
+                   sum(l_quantity) AS sum_qty,
+                   max(l_extendedprice) AS max_price,
+                   len(string_split(string_agg(l_returnflag, ', ' ORDER BY l_linenumber), ', ')) AS merged_n
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "quality_histogram": """
+            SELECT event_type, count(*) AS cnt,
+                   round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS percentage
+            FROM events GROUP BY event_type
+        """,
+        "extent": f"""
+            WITH {_PTS_CTE}
+            SELECT round(min(lon), 6) AS minx, round(min(lat), 6) AS miny,
+                   round(max(lon), 6) AS maxx, round(max(lat), 6) AS maxy
+            FROM pts
+        """,
+        "temporal_extent": """
+            SELECT strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS min_ts,
+                   strftime(max(ts), '%Y-%m-%dT%H:%M:%SZ') AS max_ts
+            FROM events
+        """,
+        "counts_by_collection": "SELECT source, count(*) AS cnt FROM documents GROUP BY source",
+        "presence": """
+            SELECT CASE WHEN value > 0 THEN 'paikalla'
+                        WHEN value <= 0 THEN 'poissa' END AS presence,
+                   count(*) AS cnt
+            FROM events GROUP BY 1
+        """,
+        "star_join": """
+            SELECT n_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+            GROUP BY n_name
+        """,
+        "multivalue_map": f"""
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                     string_split(concat_ws(', ', lang, source), ', '),
+                     v -> {lang_case}), ', ') AS mapped
+            FROM documents
+        """,
+        "toplog": """
+            SELECT event_id, event_type, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_str
+            FROM events ORDER BY ts DESC, event_id DESC LIMIT 20
+        """,
+        "paging": "SELECT doc_id, source FROM documents ORDER BY doc_id LIMIT 50 OFFSET 100",
+        "exact_dedup": f"""
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (
+                PARTITION BY array_to_string({_TOKENS_SQL}, ' ')
+                ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn = 1
+        """,
+        "jaccard_pairs": f"""
+            WITH sh AS (SELECT doc_id, {shingles} AS s FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s)) * 1.0 /
+                         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+            WHERE a.doc_id % 2 = 0
+        """,
+        "brute_topk": """
+            WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id,
+                     round(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv)
+                           / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                                    list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+              FROM embeddings, q WHERE vec_id <> 0
+            )
+            SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "hourly_rollup": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%SZ') AS hour,
+                   event_type, count(*) AS cnt,
+                   CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_cents
+            FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "centroid_rank": """
+            WITH e AS (
+              SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            flat AS (
+              SELECT label, unnest(v) AS val,
+                     unnest(range(1, len(v) + 1)) AS dim
+              FROM e
+            ),
+            cent AS (
+              SELECT label, list(avg_val ORDER BY dim) AS c FROM (
+                SELECT label, dim, avg(val) AS avg_val FROM flat GROUP BY label, dim
+              ) GROUP BY label
+            ),
+            scored AS (
+              SELECT e.label, e.vec_id,
+                     round(list_dot_product(e.v, cent.c) /
+                           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.c, cent.c))), 4) AS cosine
+              FROM e JOIN cent ON e.label = cent.label
+            )
+            SELECT label, vec_id, rank FROM (
+              SELECT label, vec_id, row_number() OVER (
+                PARTITION BY label ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """,
+        "text_profile": f"""
+            SELECT doc_id, {lang_pred} AS lang_pred, {ntok} AS n_tokens,
+                   {quality} AS quality
+            FROM documents
+        """,
+        "token_histogram": f"""
+            SELECT {ntok} AS n_tokens, count(*) AS cnt FROM documents GROUP BY 1
+        """,
+    }

@@ -53,10 +53,15 @@ def hex_cell(lon, lat, res: int) -> np.ndarray:
 
 
 def _axial_round(q, r):
-    """Cube-coordinate rounding (standard hex-grid algorithm)."""
+    """Cube-coordinate rounding (standard hex-grid algorithm).
+
+    Uses floor(x+0.5) (half-up) instead of numpy's half-to-even so the exact
+    same computation is expressible in ANSI SQL for the DuckDB oracle."""
     x, z = q, r
     y = -x - z
-    rx, ry, rz = np.round(x), np.round(y), np.round(z)
+    rx = np.floor(x + 0.5)
+    ry = np.floor(y + 0.5)
+    rz = np.floor(z + 0.5)
     dx, dy, dz = np.abs(rx - x), np.abs(ry - y), np.abs(rz - z)
     fix_x = (dx > dy) & (dx > dz)
     fix_z = ~fix_x & (dz > dy)
