@@ -528,6 +528,106 @@ def convex_hull(pts: np.ndarray) -> np.ndarray:
     return np.vstack(lower[:-1] + upper[:-1])
 
 
+# ------------------------------------------------------------ grid index
+
+class PolygonGridIndex:
+    """STRtree stand-in for broadcast PIP: a uniform bin grid over the
+    polygon set's bbox maps each bin to its candidate polygons.
+
+    Query cost per point batch: one digitize (2 numpy ops) + an argsort +
+    per-bin ray casts against (typically) one candidate — O(n) memory
+    traffic instead of n_polygons full-length masks.  This is what keeps
+    the broadcast PIP join compute-bound (scalable) rather than
+    bandwidth-bound at high executor counts.
+    """
+
+    def __init__(self, polygons: list[tuple], nx: int | None = None,
+                 ny: int | None = None):
+        """polygons: list of (poly_id, payload, (minx,miny,maxx,maxy), geom)."""
+        self.polys = polygons
+        side = max(4, int(2 * np.sqrt(len(polygons))))
+        nx = nx or side
+        ny = ny or side
+        self.nx, self.ny = nx, ny
+        xs = [b[2] for b in polygons]
+        self.minx = min(b[0] for b in xs)
+        self.miny = min(b[1] for b in xs)
+        self.maxx = max(b[2] for b in xs)
+        self.maxy = max(b[3] for b in xs)
+        self.wx = (self.maxx - self.minx) / nx or 1.0
+        self.wy = (self.maxy - self.miny) / ny or 1.0
+        self.bins: dict[int, list[int]] = {}
+        for pi, (_, _, (x0, y0, x1, y1), _) in enumerate(polygons):
+            bx0 = max(0, int((x0 - self.minx) / self.wx))
+            bx1 = min(nx - 1, int((x1 - self.minx) / self.wx))
+            by0 = max(0, int((y0 - self.miny) / self.wy))
+            by1 = min(ny - 1, int((y1 - self.miny) / self.wy))
+            for by in range(by0, by1 + 1):
+                for bx in range(bx0, bx1 + 1):
+                    self.bins.setdefault(by * nx + bx, []).append(pi)
+
+    def assign(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """Vectorized first-match polygon index per point (-1 = no match).
+
+        Points are grouped by their bin's *sole candidate polygon* (the
+        overwhelmingly common case), so the python-level loop runs once per
+        polygon (~n_polys iterations), each on a contiguous subset —
+        O(n log n) sort + O(n) ray casting, no per-polygon full-length masks.
+        """
+        n = len(px)
+        out = np.full(n, -1, dtype=np.int32)
+        if n == 0:
+            return out
+        # single-candidate lookup per bin; -1 = empty bin, -2 = multi
+        nbins = self.nx * self.ny
+        bin_cand = np.full(nbins, -1, dtype=np.int32)
+        for key, cands in self.bins.items():
+            bin_cand[key] = cands[0] if len(cands) == 1 else -2
+        bx = np.floor((px - self.minx) / self.wx).astype(np.int64)
+        by = np.floor((py - self.miny) / self.wy).astype(np.int64)
+        inb = (bx >= 0) & (bx < self.nx) & (by >= 0) & (by < self.ny)
+        keys = np.where(inb, by * self.nx + bx, 0)
+        guess = np.where(inb, bin_cand[keys], -1)
+        order = np.argsort(guess, kind="stable")
+        sg = guess[order]
+        starts = np.nonzero(np.diff(sg, prepend=sg[0] - 1))[0]
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):
+            g = int(sg[s])
+            if g == -1:
+                continue
+            idx = order[s:e]
+            if g >= 0:  # exactly one candidate for every point in this run
+                _, _, (x0, y0, x1, y1), geom = self.polys[g]
+                m = (px[idx] >= x0) & (px[idx] <= x1) & (py[idx] >= y0) & (py[idx] <= y1)
+                sub = idx[m]
+                if len(sub):
+                    hit = points_in_polygon(px[sub], py[sub], geom)
+                    out[sub[hit]] = g
+            else:  # multi-candidate bins: rare, resolve per bin
+                mkeys = keys[idx]
+                morder = np.argsort(mkeys, kind="stable")
+                midx = idx[morder]
+                mk = mkeys[morder]
+                bstarts = np.nonzero(np.diff(mk, prepend=mk[0] - 1))[0]
+                bends = np.append(bstarts[1:], len(midx))
+                for bs, be in zip(bstarts, bends):
+                    cands = self.bins.get(int(mk[bs]), [])
+                    unresolved = midx[bs:be]
+                    for pi in cands:
+                        if not len(unresolved):
+                            break
+                        _, _, (x0, y0, x1, y1), geom = self.polys[pi]
+                        m = ((px[unresolved] >= x0) & (px[unresolved] <= x1)
+                             & (py[unresolved] >= y0) & (py[unresolved] <= y1))
+                        sub = unresolved[m]
+                        if len(sub):
+                            hit = points_in_polygon(px[sub], py[sub], geom)
+                            out[sub[hit]] = pi
+                            unresolved = unresolved[out[unresolved] < 0]
+        return out
+
+
 # ------------------------------------------------------------------ buffer
 
 def buffer_geom(geom, dist: float, segments: int = 16):

@@ -77,7 +77,7 @@ def minhash_signature_udf(num_perm: int = 64, shingle_n: int = 3, seed: int = 42
             if not sh:
                 out.append(np.zeros(num_perm, dtype=np.int64).tolist())
                 continue
-            hv = np.fromiter((_fnv64(s.encode()) for s in sh), dtype=np.uint64, count=len(sh))
+            hv = np.fromiter((_hash64(s.encode()) for s in sh), dtype=np.uint64, count=len(sh))
             with np.errstate(over="ignore"):
                 m = (a[None, :] * hv[:, None] + b[None, :]) % p
             out.append(m.min(axis=0).astype(np.int64).tolist())
@@ -90,16 +90,13 @@ def _tokenize_py(t: str | None) -> list[str]:
     import re
     if not t:
         return []
-    return [w for w in re.split(r"[^\w']+", t.lower(), flags=re.UNICODE) if w]
+    return [w for w in re.split(r"[^a-z0-9']+", t.lower()) if w]
 
 
-def _fnv64(data: bytes) -> np.uint64:
-    h = np.uint64(0xCBF29CE484222325)
-    p = np.uint64(0x100000001B3)
-    with np.errstate(over="ignore"):
-        for byte in data:
-            h = (h ^ np.uint64(byte)) * p
-    return h
+def _hash64(data: bytes) -> int:
+    """Deterministic 64-bit string hash at C speed (blake2b digest)."""
+    import hashlib
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
@@ -172,7 +169,7 @@ def simhash_udf(seed: int = 42):
             toks = _tokenize_py(t)
             if not toks:
                 continue
-            hv = np.fromiter((_fnv64(w.encode()) for w in toks),
+            hv = np.fromiter((_hash64(w.encode()) for w in toks),
                              dtype=np.uint64, count=len(toks))
             bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
             votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)

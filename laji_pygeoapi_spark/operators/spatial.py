@@ -136,6 +136,10 @@ def pip_join(df: DataFrame, polygons: pd.DataFrame,
               (row["minx"], row["miny"], row["maxx"], row["maxy"]),
               W.loads(bytes(row["wkb"])))
              for _, row in polygons.iterrows()]
+    index = G.PolygonGridIndex(polys)
+    ids_arr = np.array([p[0] for p in polys] + [None], dtype=object)
+    extras_arr = [np.array([p[1][i] for p in polys] + [None], dtype=object)
+                  for i in range(len(extra_cols))]
 
     out_t = T.StructType([T.StructField("pid", T.StringType())]
                          + [T.StructField(f"x{i}", T.StringType()) for i in range(len(extra_cols))])
@@ -144,25 +148,10 @@ def pip_join(df: DataFrame, polygons: pd.DataFrame,
     def probe(lo: pd.Series, la: pd.Series) -> pd.DataFrame:
         px = lo.to_numpy(np.float64)
         py = la.to_numpy(np.float64)
-        n = len(px)
-        pid = np.full(n, None, dtype=object)
-        extras = [np.full(n, None, dtype=object) for _ in extra_cols]
-        unassigned = np.ones(n, dtype=bool)
-        for poly_id, extra_vals, (x0, y0, x1, y1), geom in polys:
-            cand = unassigned & (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
-            if not cand.any():
-                continue
-            idx = np.nonzero(cand)[0]
-            hit = G.points_in_polygon(px[idx], py[idx], geom)
-            hit_idx = idx[hit]
-            if len(hit_idx):
-                pid[hit_idx] = poly_id
-                for arr, v in zip(extras, extra_vals):
-                    arr[hit_idx] = v
-                unassigned[hit_idx] = False
-        data = {"pid": pid}
-        for i, arr in enumerate(extras):
-            data[f"x{i}"] = arr
+        midx = index.assign(px, py)  # -1 -> last slot (None)
+        data = {"pid": ids_arr[midx]}
+        for i, arr in enumerate(extras_arr):
+            data[f"x{i}"] = arr[midx]
         return pd.DataFrame(data)
 
     df = df.withColumn("_pip", probe(F.col(lon), F.col(lat)))

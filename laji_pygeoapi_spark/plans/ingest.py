@@ -18,6 +18,8 @@ the query-side counterpart, see adaptive_cells).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,6 +36,94 @@ def prepare_images(images: DataFrame, hex_resolutions=(5, 6, 7, 8, 9),
     df = spatial.with_cells(df, hex_resolutions=hex_resolutions,
                             s2_level=s2_level, zooms=zooms)
     return df
+
+
+def fused_ingest_expr(hex_resolutions=(5, 6, 7, 8, 9), s2_level: int = 12,
+                      zooms=(5, 9, 12), municipalities=None,
+                      include_geometry: bool = True):
+    """The whole per-row derivation (WKB point, hex cells, S2, tiles,
+    partition prefix, PIP municipality attribution) as ONE pandas UDF —
+    a single Arrow round trip per batch instead of three.
+
+    At bandwidth-bound parallelism every extra eval node re-materializes the
+    full row stream; fusing the derivations nearly halves memory traffic and
+    is what makes 8->32-thread scaling efficient (see BENCH.md).
+    Returns a Column of struct; use :func:`ingest_fused` to flatten.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernels import cells as C
+    from ..kernels import geom as G
+    from ..kernels import wkb as W
+
+    muni = municipalities if municipalities is not None else fixtures.municipalities_pdf()
+    polys = [(row["id"], (row["name"], row["ely_area"], row["elinvoimakeskus"]),
+              (row["minx"], row["miny"], row["maxx"], row["maxy"]),
+              W.loads(bytes(row["wkb"])))
+             for _, row in muni.iterrows()]
+    index = G.PolygonGridIndex(polys)
+    ids_arr = np.array([p[0] for p in polys] + [None], dtype=object)
+    name_arr = np.array([p[1][0] for p in polys] + [None], dtype=object)
+    ely_arr = np.array([p[1][1] for p in polys] + [None], dtype=object)
+    evk_arr = np.array([p[1][2] for p in polys] + [None], dtype=object)
+    res_list = tuple(hex_resolutions)
+    zs = tuple(zooms)
+
+    fields = ([T.StructField("geometry", T.BinaryType())] if include_geometry else [])
+    fields += [T.StructField("geom_kind", T.StringType())]
+    fields += [T.StructField(f"cell_r{r}", T.LongType()) for r in res_list]
+    fields += [T.StructField(f"s2_l{s2_level}", T.LongType()),
+               T.StructField("cell_prefix", T.LongType())]
+    for z in zs:
+        fields += [T.StructField(f"tile_x_z{z}", T.LongType()),
+                   T.StructField(f"tile_y_z{z}", T.LongType())]
+    fields += [T.StructField("municipality_id", T.StringType()),
+               T.StructField("Kunta", T.StringType()),
+               T.StructField("Vastuualue", T.StringType()),
+               T.StructField("Elinvoimakeskus", T.StringType())]
+    struct_t = T.StructType(fields)
+
+    @pandas_udf(struct_t)
+    def fused(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        lo = lon.to_numpy(np.float64)
+        la = lat.to_numpy(np.float64)
+        n = len(lo)
+        data: dict = {}
+        if include_geometry:
+            head = bytes([1, 1, 0, 0, 0])
+            xs = lo.astype("<f8").tobytes()
+            ys = la.astype("<f8").tobytes()
+            data["geometry"] = [head + xs[i * 8:(i + 1) * 8] + ys[i * 8:(i + 1) * 8]
+                                for i in range(n)]
+        data["geom_kind"] = np.full(n, "point", dtype=object)
+        for r in res_list:
+            data[f"cell_r{r}"] = C.hex_cell(lo, la, r)
+        data[f"s2_l{s2_level}"] = C.s2_cell(lo, la, s2_level)
+        data["cell_prefix"] = C.hex_cell(lo, la, spatial.PARTITION_RES)
+        for z in zs:
+            tx, ty = C.mercator_tile(lo, la, z)
+            data[f"tile_x_z{z}"] = tx
+            data[f"tile_y_z{z}"] = ty
+        midx = index.assign(lo, la)
+        data["municipality_id"] = ids_arr[midx]
+        data["Kunta"] = name_arr[midx]
+        data["Vastuualue"] = ely_arr[midx]
+        data["Elinvoimakeskus"] = evk_arr[midx]
+        return pd.DataFrame(data)
+
+    return fused, struct_t
+
+
+def ingest_fused(images: DataFrame, hex_resolutions=(5, 6, 7, 8, 9),
+                 s2_level: int = 12, zooms=(5, 9, 12),
+                 include_geometry: bool = True) -> DataFrame:
+    """prepare_images + attribute_municipality in one UDF eval pass."""
+    fused, struct_t = fused_ingest_expr(hex_resolutions, s2_level, zooms,
+                                        include_geometry=include_geometry)
+    df = images.withColumn("_d", fused(F.col("lon"), F.col("lat")))
+    return df.select("*", *[F.col(f"_d.{f.name}").alias(f.name)
+                            for f in struct_t.fields]).drop("_d")
 
 
 def attribute_municipality(df: DataFrame) -> DataFrame:

@@ -115,8 +115,11 @@ def images_df(spark: SparkSession, n: int, with_bytes: bool = True,
                     phashes.append(codec.quick_phash(img))
             else:
                 blobs = [None] * len(idx)
-                phashes = [codec.quick_phash(codec.synth_image(int(i) % 997, 8, 8))
-                           for i in idx]
+                # points-only mode: vectorized splitmix stand-in phash
+                with np.errstate(over="ignore"):
+                    ph = (idx.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                    ph ^= ph >> np.uint64(29)
+                phashes = ph.astype(np.int64)
             yield pd.DataFrame({
                 "image_id": [f"IMG_{i:09d}" for i in idx],
                 "bytes": blobs, "w": ws, "h": hs, "fmt": fmts,
