@@ -54,7 +54,8 @@ def _agg_expr(col: str, sort_key: Column) -> Column:
 
 
 def merge_similar_observations(df: DataFrame, salted: bool = False,
-                               salt_buckets: int = 16) -> DataFrame:
+                               salt_buckets: int = 16,
+                               policy: dict[str, list[str]] | None = None) -> DataFrame:
     """A2 — group-merge with CSV-driven policies (reference ``edit_db.py:381-460``).
 
     GROUPBY columns form the key; FIRST -> min_by on the deterministic order;
@@ -65,7 +66,11 @@ def merge_similar_observations(df: DataFrame, salted: bool = False,
     random-free salt (hash of the id) so one hot group spreads over
     ``salt_buckets`` reducers before the final combine — same results.
     """
-    policy = registry.merge_policy()
+    # policy override mirrors the reference signature, which takes the
+    # lookup_df as a parameter (edit_db.py:381) — callers may merge under a
+    # different policy set than the production registry
+    policy = policy if policy is not None else registry.merge_policy()
+    policy = {k: policy.get(k, []) for k in ("GROUPBY", "AGGREGATE", "FIRST", "SUM", "MAX")}
     present = set(df.columns)
     groupby_cols = [c for c in policy["GROUPBY"] if c in present]
     firsts = [c for c in policy["FIRST"] if c in present]

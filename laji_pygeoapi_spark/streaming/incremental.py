@@ -32,14 +32,14 @@ def stream_ingest(spark: SparkSession, source_dir: str, root: str,
     foreachBatch body is the shared ingest projection so stream and batch
     rows are bit-identical.
     """
-    from ..plans.ingest import prepare_images
+    from ..plans.ingest import ingest_fused
     checkpoint_dir = checkpoint_dir or os.path.join(root, "_stream_checkpoint")
     stream = (spark.readStream.schema(IMAGES_SCHEMA)
               .option("maxFilesPerTrigger", 64)
               .parquet(source_dir))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        prepared = prepare_images(batch_df)
+        prepared = ingest_fused(batch_df)
         part_cols = [c for c in store.PARTITION_COLS if c in prepared.columns]
         (prepared.repartition(*[F.col(c) for c in part_cols])
                  .write.mode("append").partitionBy(*part_cols)

@@ -1,0 +1,109 @@
+"""OGC API Features semantics tests (SURVEY §3.2-3.3 capabilities contract)."""
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from laji_pygeoapi_spark.api import features as API
+from laji_pygeoapi_spark.functions import transform
+from laji_pygeoapi_spark.operators import maintenance as M
+from laji_pygeoapi_spark.sources import fixtures
+
+
+@pytest.fixture(scope="module")
+def occ(spark):
+    raw = spark.createDataFrame(fixtures.raw_occurrences_pdf(300))
+    tax = spark.createDataFrame(fixtures.taxonomy_pdf())
+    return M.remove_duplicates(transform.transform_chain(raw, tax)).cache()
+
+
+def test_paging_validation():
+    with pytest.raises(API.QueryError):
+        API.validate_paging(0, 0)
+    with pytest.raises(API.QueryError):
+        API.validate_paging(10001, 0)
+    with pytest.raises(API.QueryError):
+        API.validate_paging(10, -1)
+    assert API.validate_paging(100, 200) == (100, 200)
+
+
+def test_items_bbox_and_count(spark, occ):
+    page, matched = API.items(occ, bbox=(19.0, 59.0, 32.0, 71.0), limit=10)
+    assert matched > 0
+    assert page.count() == min(10, matched)
+    _, hits = API.items(occ, bbox=(19.0, 59.0, 32.0, 71.0), resulttype="hits")
+    assert hits == matched
+
+
+def test_items_datetime_filter(spark, occ):
+    page, matched = API.items(occ, datetime_range="2010-01-01/..", limit=1000)
+    pdf = page.select("Keruu_aloitus_pvm").toPandas()
+    assert (pdf["Keruu_aloitus_pvm"].astype(str) >= "2010-01-01").all()
+    _, m2 = API.items(occ, datetime_range="../2009-12-31", resulttype="hits")
+    total = occ.filter(F.col("Keruu_aloitus_pvm").isNotNull()).count()
+    assert matched + m2 == total
+
+
+def test_items_property_filter_and_paging_stability(spark, occ):
+    props = [("Sukupuoli", "koiras")]
+    page1, matched = API.items(occ, properties=props, limit=5, offset=0)
+    page2, _ = API.items(occ, properties=props, limit=5, offset=5)
+    ids1 = [r["Paikallinen_tunniste"] for r in page1.collect()]
+    ids2 = [r["Paikallinen_tunniste"] for r in page2.collect()]
+    assert len(set(ids1) & set(ids2)) == 0
+    assert matched == occ.filter(F.col("Sukupuoli") == "koiras").count()
+
+
+def test_items_sortby(spark, occ):
+    page, _ = API.items(occ, sortby=[("Yksilomaara_tulkittu", "-")], limit=5)
+    vals = [r["Yksilomaara_tulkittu"] for r in page.collect()]
+    assert vals == sorted(vals, key=lambda v: (v is None, -(v or 0)))
+
+
+def test_get_feature_id_decode(spark, occ):
+    ident = occ.select("Paikallinen_tunniste").first()[0]
+    got = API.get_feature(occ, ident)
+    assert got.count() == 1
+
+
+def test_unknown_filter_suggestion():
+    with pytest.raises(API.QueryError) as e:
+        API.convert_property_filters([("Sukupuol", "koiras")])
+    assert "Did you mean" in str(e.value)
+
+
+def test_filter_conversion_reference_semantics():
+    # label -> code (J3), province -> ML id, time normalization (F10),
+    # negated boolean (convert_api_filters.py:32-36)
+    conv = dict(API.convert_property_filters([
+        ("Sukupuoli", "koiras"),
+        ("Eliomaakunta", "Uusimaa"),
+        ("Aika", "2020-01-01 [9:41] / 2025-12-31 [9:43]"),
+        ("Valtion_maalla", "true"),
+        ("Elinvaihe", "aikuinen"),
+    ]))
+    assert conv["sex"] == "MALE"
+    assert conv["biogeographicalProvinceId"] == "ML.253"
+    assert conv["time"] == "2020-01-01/2025-12-31"
+    assert conv["onlyNonStateLands"] == "False"
+    assert conv["lifeStage"] == "ADULT"
+
+
+def test_geojson_output(spark, occ):
+    page, _ = API.items(occ, limit=3)
+    gj = API.to_geojson(page).collect()
+    for row in gj:
+        f = json.loads(row["feature_json"])
+        assert f["type"] == "Feature"
+        assert f["geometry"]["type"] == "Point"
+        assert len(f["geometry"]["coordinates"]) == 2
+        assert "Kunta" in f["properties"]
+
+
+def test_geojson_crs_3067(spark, occ):
+    page, _ = API.items(occ, limit=3)
+    gj = API.to_geojson(page, crs="EPSG:3067").collect()
+    f = json.loads(gj[0]["feature_json"])
+    e, n = f["geometry"]["coordinates"]
+    assert 0 < e < 1_000_000 and 6_500_000 < n < 7_900_000  # TM35FIN range

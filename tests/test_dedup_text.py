@@ -1,0 +1,130 @@
+"""Training-data pipeline operator tests: dedup family, similarity search,
+text analysis, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from laji_pygeoapi_spark.operators import dedup as DD
+from laji_pygeoapi_spark.operators import similarity as SIM
+from laji_pygeoapi_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different document about spark query planning and shuffles",
+        "numeric data pipelines require careful partitioning of the key space",
+        "ja se on hyvä että ei ole paha",  # finnish-marked text
+    ]
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": base[i % 4] + f" variant token{i}"})
+    # exact duplicates: 100/101 duplicate doc 0's text verbatim
+    rows.append({"doc_id": 100, "text": base[0]})
+    rows.append({"doc_id": 101, "text": base[0]})
+    # near-duplicate: one word changed
+    rows.append({"doc_id": 102, "text": base[0].replace("lazy", "sleepy")})
+    return spark.createDataFrame(pd.DataFrame(rows)).cache()
+
+
+def test_exact_dedup_keeps_lowest_id(spark, docs):
+    out = DD.exact_dedup(docs)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 100 in ids and 101 not in ids  # one of the verbatim pair survives
+    groups = DD.exact_dup_groups(docs).collect()
+    assert any(set(g["ids"]) == {100, 101} for g in groups)
+
+
+def test_minhash_finds_planted_neardup(spark, docs):
+    pairs = DD.minhash_lsh_candidates(docs, num_perm=64, bands=32)
+    ver = DD.jaccard_verify(docs, pairs, threshold=0.5).toPandas()
+    found = set(map(tuple, ver[["id_a", "id_b"]].values.tolist()))
+    assert (100, 101) in found            # exact pair
+    assert any(102 in p for p in found)   # near-dup pair
+    deduped = DD.minhash_dedup(docs, threshold=0.5, num_perm=64, bands=32)
+    assert deduped.count() < docs.count()
+
+
+def test_simhash_near_ids_for_neardups(spark, docs):
+    sh = {r["doc_id"]: r["h"] for r in
+          docs.select("doc_id", DD.simhash_udf()(F.col("text")).alias("h")).collect()}
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert hamming(sh[100], sh[101]) == 0
+    assert hamming(sh[100], sh[102]) <= 16
+    assert hamming(sh[0], sh[1]) > 16  # different docs stay apart
+
+
+def test_embedding_neardup_and_ann_recall(spark):
+    rng = np.random.RandomState(42)
+    vecs = rng.standard_normal((100, 16))
+    vecs[60] = vecs[10] + rng.standard_normal(16) * 0.01   # planted near-dup
+    pdf = pd.DataFrame({"vec_id": range(100),
+                        "embedding": [v.tolist() for v in vecs],
+                        "label": [i % 3 for i in range(100)]})
+    emb = spark.createDataFrame(pdf).cache()
+    nd = DD.embedding_neardup(emb, threshold=0.98).toPandas()
+    assert ((nd["id_a"] == 10) & (nd["id_b"] == 60)).any()
+    # ANN recall: query = vec 10; brute-force top-5 must contain 60 at rank 2
+    bf = SIM.brute_force_topk(emb, vecs[10].tolist(), k=5).toPandas()
+    assert bf["vec_id"].tolist()[0] == 10 and bf["vec_id"].tolist()[1] == 60
+    ann = SIM.ann_topk(emb, vecs[10].tolist(), k=5, planes=6, multiprobe=2).toPandas()
+    assert {10, 60} <= set(ann["vec_id"])  # near-identical vectors share buckets
+
+
+def test_centroid_rank_shape(spark):
+    rng = np.random.RandomState(0)
+    pdf = pd.DataFrame({"vec_id": range(30),
+                        "embedding": [rng.standard_normal(8).tolist() for _ in range(30)],
+                        "label": [i % 2 for i in range(30)]})
+    out = SIM.pairwise_topk_per_label(spark.createDataFrame(pdf), k=3).toPandas()
+    assert len(out) == 6
+    assert set(out["rank"]) == {1, 2, 3}
+
+
+def test_text_profile_fields(spark, docs):
+    out = TX.profile(docs, "text").toPandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[3, "lang_pred"] == "fi"
+    assert out.loc[0, "n_tokens"] == len(
+        "the quick brown fox jumps over the lazy dog again and again variant token0".split())
+    assert 0.0 <= out["quality"].min() and out["quality"].max() <= 1.0
+    # fingerprint: identical normalized text -> identical fingerprint
+    assert out.loc[100, "fingerprint"] == out.loc[101, "fingerprint"]
+    assert out.loc[100, "fingerprint"] != out.loc[102, "fingerprint"]
+
+
+def test_shingles_and_token_count(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": ["a b c d", "x y"]}))
+    sh = df.select(TX.shingles(F.col("text"), 3).alias("s")).collect()
+    assert sh[0]["s"] == ["a b c", "b c d"]
+    assert sh[1]["s"] == ["x y"]  # short doc: single joined shingle
+    tc = df.select(TX.token_count(F.col("text")).alias("n")).collect()
+    assert [r["n"] for r in tc] == [4, 2]
+
+
+def test_multimodal_features_and_resize(spark):
+    from laji_pygeoapi_spark.operators import multimodal as MM
+    from laji_pygeoapi_spark.sources import fixtures
+    imgs = fixtures.images_df(spark, 40).cache()
+    feats = MM.extract_features(imgs).toPandas()
+    assert feats["ok"].all()
+    assert (feats["aspect"] > 0).all()
+    small = MM.resize_images(imgs, size=8).toPandas()
+    assert (small["w"] == 8).all()
+    from laji_pygeoapi_spark.kernels import codec
+    img0 = codec.decode(bytes(small["bytes"][0]))
+    assert img0.shape == (8, 8, 3)
+
+
+def test_multimodal_unknown_payload_isolated(spark):
+    from laji_pygeoapi_spark.operators import multimodal as MM
+    pdf = pd.DataFrame({"image_id": ["a", "b"],
+                        "bytes": [b"not-an-image-payload", None]})
+    out = MM.extract_features(spark.createDataFrame(pdf)).toPandas()
+    assert (~out["ok"]).all()  # poison rows isolated, job survives
+    with pytest.raises(NotImplementedError):
+        MM.sample_video_frames(None)

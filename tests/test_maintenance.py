@@ -1,0 +1,128 @@
+"""Maintenance-job parity tests — ports of the reference's PostGIS SQL
+goldens (``pygeoapi/tests/test_edit_db.py``) as Spark jobs."""
+
+import datetime
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from laji_pygeoapi_spark.operators import maintenance as M
+from laji_pygeoapi_spark.sources import fixtures
+
+
+def _dedup_frame(spark):
+    # reference tests/test_edit_db.py:262-286 — 3 rows, one id duplicated,
+    # keep the latest Lataus_pvm -> 2 rows
+    pdf = pd.DataFrame({
+        "Havainnon_tunniste": ["obs1", "obs1", "obs2"],
+        "Lataus_pvm": [datetime.date(2023, 1, 1), datetime.date(2024, 6, 1),
+                       datetime.date(2024, 1, 1)],
+        "Maara": ["old", "new", "x"],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_dedup_keep_latest_golden(spark):
+    out = M.remove_duplicates(_dedup_frame(spark)).orderBy("Havainnon_tunniste").toPandas()
+    assert len(out) == 2
+    assert out.loc[out["Havainnon_tunniste"] == "obs1", "Maara"].iloc[0] == "new"
+
+
+def _merge_frame(spark):
+    # reference tests/test_edit_db.py:288-352 — 3 rows -> 2 groups;
+    # SUM 5+3=8; AGGREGATE id 'obs1, obs2'; its test policy declares
+    # Yksilomaara_tulkittu as SUM (test_edit_db.py:322-325)
+    d = datetime.date(2024, 1, 1)
+    pdf = pd.DataFrame({
+        "Havainnon_tunniste": ["obs1", "obs2", "obs3"],
+        "Tieteellinen_nimi": ["Parus major", "Parus major", "Lutra lutra"],
+        "Kunta": ["city1", "city1", "city2"],
+        "Yksilomaara_tulkittu": [5, 3, 7],
+        "Paikan_tarkkuus_metreina_max": [10, 1000, 100],
+        "Lataus_pvm": [d, d, d],
+        "Maara": ["5", "3", "nan"],
+        "geom_kind": ["point", "point", "point"],
+    })
+    return spark.createDataFrame(pdf)
+
+
+_TEST_POLICY = {
+    "GROUPBY": ["Kunta"],
+    "FIRST": ["Tieteellinen_nimi"],
+    "AGGREGATE": ["Havainnon_tunniste", "Maara"],
+    "SUM": ["Yksilomaara_tulkittu"],
+    "MAX": ["Paikan_tarkkuus_metreina_max"],
+}
+
+
+@pytest.mark.parametrize("salted", [False, True])
+def test_merge_golden(spark, salted):
+    out = M.merge_similar_observations(_merge_frame(spark), salted=salted,
+                                       policy=_TEST_POLICY)
+    pdf = out.orderBy("Yksilomaara_tulkittu").toPandas()
+    assert len(pdf) == 2
+    merged = pdf[pdf["Havainnon_tunniste"] == "obs1, obs2"]
+    assert len(merged) == 1
+    row = merged.iloc[0]
+    assert row["Yksilomaara_tulkittu"] == 8                 # SUM policy
+    assert row["Paikan_tarkkuus_metreina_max"] == 1000      # MAX policy
+    assert row["Tieteellinen_nimi"] == "Parus major"        # FIRST policy
+    assert row["Maara"] == "5, 3"                           # AGGREGATE policy
+    assert row["Yhdistetty"] == 2                           # merged-count
+    solo = pdf[pdf["Havainnon_tunniste"] == "obs3"].iloc[0]
+    assert solo["Yhdistetty"] == 1
+    assert solo["Maara"] is None   # 'nan' filtered (edit_db.py:418)
+
+
+def test_salted_equals_unsalted_at_scale(spark):
+    from laji_pygeoapi_spark.functions import transform
+    raw = spark.createDataFrame(fixtures.raw_occurrences_pdf(400))
+    tax = spark.createDataFrame(fixtures.taxonomy_pdf())
+    occ = M.remove_duplicates(transform.transform_chain(raw, tax)).cache()
+    merged = M.merge_similar_observations(occ)
+    cols = sorted(set(merged.columns) - {"geometry"})
+    a = (merged.select(*cols)
+         .orderBy("Havainnon_tunniste").toPandas().reset_index(drop=True))
+    b = (M.merge_similar_observations(occ, salted=True, salt_buckets=7).select(*cols)
+         .orderBy("Havainnon_tunniste").toPandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+def test_quality_frequency_golden(spark):
+    # reference tests/test_edit_db.py:124-144 — 66.67 / 33.33
+    pdf = pd.DataFrame({"Aineiston_laatu": ["A", "A", "B"]})
+    out = M.quality_frequency(spark.createDataFrame(pdf)).orderBy("Aineiston_laatu").toPandas()
+    assert out["percentage"].tolist() == [66.67, 33.33]
+
+
+def test_bbox_golden(spark):
+    # reference tests/test_edit_db.py:105-122 — extent [1,2,3,4]
+    from laji_pygeoapi_spark.operators.spatial import extent
+    pdf = pd.DataFrame({"lon": [1.0, 3.0, 2.0], "lat": [2.0, 4.0, 3.0]})
+    assert extent(spark.createDataFrame(pdf)) == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_temporal_extent_rfc3339(spark):
+    # reference tests/test_edit_db.py:146-166
+    pdf = pd.DataFrame({
+        "Keruu_aloitus_pvm": [datetime.date(1990, 5, 1), datetime.date(2000, 1, 2)],
+        "Keruu_lopetus_pvm": [datetime.date(1991, 6, 2), datetime.date(2020, 12, 31)],
+    })
+    lo, hi = M.temporal_extent(spark.createDataFrame(pdf))
+    assert lo == "1990-05-01T00:00:00Z"
+    assert hi == "2020-12-31T00:00:00Z"
+
+
+def test_collection_metadata_manifest(spark):
+    from laji_pygeoapi_spark.functions import transform
+    raw = spark.createDataFrame(fixtures.raw_occurrences_pdf(200))
+    tax = spark.createDataFrame(fixtures.taxonomy_pdf())
+    occ = transform.transform_chain(raw, tax)
+    md = M.collection_metadata(occ)
+    assert len(md) == 4  # 4 collections in the fixture
+    for m in md:
+        assert m["count"] > 0
+        assert len(m["bbox"]) == 4 and m["bbox"][0] <= m["bbox"][2]
+        assert m["temporal"][0] and m["temporal"][0].endswith("Z")
+        assert abs(sum(m["quality"].values()) - 100.0) < 0.5

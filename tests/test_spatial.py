@@ -1,0 +1,107 @@
+"""Spatial-core tests: cell encoding in Spark, bbox pruning, PIP join,
+kNN vs the brute-force haversine oracle (north-rule acceptance checks)."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from laji_pygeoapi_spark.kernels import cells as C
+from laji_pygeoapi_spark.operators import spatial as SP
+from laji_pygeoapi_spark.sources import fixtures
+
+
+def test_with_cells_matches_kernel(spark):
+    imgs = fixtures.images_df(spark, 200, with_bytes=False)
+    out = SP.with_cells(imgs, zooms=(9,)).toPandas()
+    lon = out["lon"].to_numpy()
+    lat = out["lat"].to_numpy()
+    assert (out["cell_r7"].to_numpy() == C.hex_cell(lon, lat, 7)).all()
+    assert (out["s2_l12"].to_numpy() == C.s2_cell(lon, lat, 12)).all()
+    tx, ty = C.mercator_tile(lon, lat, 9)
+    assert (out["tile_x_z9"].to_numpy() == tx).all()
+    assert (out["tile_y_z9"].to_numpy() == ty).all()
+
+
+def test_bbox_filter_row_set_parity(spark):
+    # north rule: "bbox filter row sets" — predicate vs python filter
+    imgs = fixtures.images_df(spark, 500, with_bytes=False)
+    cells_df = SP.with_cells(imgs).cache()
+    bbox = (24.0, 59.9, 26.0, 61.0)
+    got = set(SP.bbox_filter(cells_df, bbox).select("image_id").toPandas()["image_id"])
+    pdf = cells_df.select("image_id", "lon", "lat").toPandas()
+    exp = set(pdf[(pdf.lon >= bbox[0]) & (pdf.lon <= bbox[2])
+                  & (pdf.lat >= bbox[1]) & (pdf.lat <= bbox[3])]["image_id"])
+    assert got == exp
+
+
+def test_pip_join_agrees_with_upstream_attribution(spark):
+    # FIXTURES: engine PIP must reproduce the deterministic grid Kunta
+    from laji_pygeoapi_spark.functions import transform
+    raw = spark.createDataFrame(fixtures.raw_occurrences_pdf(300))
+    tax = spark.createDataFrame(fixtures.taxonomy_pdf())
+    occ = transform.transform_chain(raw, tax).filter(F.col("lon").isNotNull())
+    joined = SP.pip_join(occ, fixtures.municipalities_pdf(), extra_cols=("name",))
+    bad = joined.filter(F.col("poly_name") != F.col("Kunta")).count()
+    assert bad == 0
+
+
+def test_pip_points_outside_all_polygons(spark):
+    pdf = pd.DataFrame({"lon": [0.0, 24.9], "lat": [0.0, 60.2]})
+    out = SP.pip_join(spark.createDataFrame(pdf), fixtures.municipalities_pdf(),
+                      extra_cols=("name",)).toPandas()
+    assert out.loc[0, "poly_name"] is None
+    assert out.loc[1, "poly_name"] is not None
+
+
+def test_knn_matches_bruteforce(spark):
+    imgs = fixtures.images_df(spark, 400, with_bytes=False).cache()
+    pts = imgs.select("image_id", "lon", "lat").toPandas()
+    queries = pd.DataFrame({"query_id": [f"q{i}" for i in range(6)],
+                            "lon": np.linspace(20, 30, 6),
+                            "lat": np.linspace(60, 69, 6)})
+    got = SP.knn_join(spark, imgs, queries, k=5, res=6).toPandas()
+    for _, q in queries.iterrows():
+        d = C.haversine_m(q["lon"], q["lat"], pts["lon"].values, pts["lat"].values)
+        brute = set(pts["image_id"].values[np.argsort(d, kind="stable")[:5]])
+        mine = set(got.loc[got["query_id"] == q["query_id"], "image_id"])
+        assert mine == brute, q["query_id"]
+
+
+def test_haversine_expr_matches_kernel(spark):
+    pdf = pd.DataFrame({"lon1": [24.94, 20.0], "lat1": [60.17, 65.0],
+                        "lon2": [22.27, 28.0], "lat2": [60.45, 69.0]})
+    out = (spark.createDataFrame(pdf)
+           .select(SP.haversine_expr("lon1", "lat1", "lon2", "lat2").alias("d"))
+           .toPandas())
+    exp = C.haversine_m(pdf["lon1"], pdf["lat1"], pdf["lon2"], pdf["lat2"])
+    assert np.allclose(out["d"].to_numpy(), exp, rtol=1e-9)
+
+
+def test_bbox_predicate_includes_cell_pruning(spark):
+    imgs = SP.with_cells(fixtures.images_df(spark, 100, with_bytes=False))
+    plan = imgs.filter(SP.bbox_predicate(24.0, 60.0, 25.0, 61.0))._jdf.queryExecution().toString()
+    assert "cell_prefix" in plan  # partition-prune predicate generated
+
+
+def test_adaptive_cells_splits_hotspot(spark):
+    from laji_pygeoapi_spark.plans.ingest import adaptive_cells
+    imgs = SP.with_cells(fixtures.images_df(spark, 2000, with_bytes=False),
+                         hex_resolutions=(3, 5, 6, 7))
+    out = adaptive_cells(imgs, base_res=3, fine_res=6, dense_threshold=100).cache()
+    res_counts = {r["cell_res"]: r["count"]
+                  for r in out.groupBy("cell_res").count().collect()}
+    assert res_counts.get(6, 0) > 0      # Helsinki hotspot re-keyed finer
+    assert res_counts.get(3, 0) > 0      # sparse cells stay coarse
+    # every adaptive cell is bounded below the threshold x split factor
+    mx = out.groupBy("cell_adaptive").count().agg(F.max("count")).first()[0]
+    assert mx <= 2000  # sanity: no unbounded group
+
+
+def test_salt_dense_cells_bounds_partitions(spark):
+    from laji_pygeoapi_spark.plans.ingest import salt_dense_cells
+    imgs = SP.with_cells(fixtures.images_df(spark, 2000, with_bytes=False))
+    out = salt_dense_cells(imgs, max_rows_per_task=100).cache()
+    assert out.count() == 2000  # row-preserving
+    g = out.groupBy("cell_prefix", "_salt").count().agg(F.max("count")).first()[0]
+    # deterministic hash salting: no (cell, salt) bucket much above the cap
+    assert g <= 300

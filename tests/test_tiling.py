@@ -1,0 +1,75 @@
+"""Raster-tiling invariants (north rule / input_hint): per-row decoded-pixel
+PSNR >= 40 dB + caption equality through tile materialization."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from laji_pygeoapi_spark.kernels import codec
+from laji_pygeoapi_spark.operators import tiling
+from laji_pygeoapi_spark.sources import fixtures
+
+
+def test_codec_level_invariant_per_row():
+    # decode(encode(x)) vs x: lossless for png, >=40 dB for the lossy path
+    for i in range(8):
+        img = codec.synth_image(i, 32, 32)
+        fmt = "png" if i % 4 != 0 else "jpeg"
+        back = codec.decode(codec.encode(img, fmt))
+        if fmt == "png":
+            assert np.array_equal(back, img)
+        else:
+            assert codec.psnr(img, back) >= 40.0
+
+
+def test_tiles_lossless_roundtrip(spark):
+    imgs = fixtures.images_df(spark, 150).cache()
+    tiles = tiling.materialize_tiles(imgs, zoom=6).toPandas()
+    src = imgs.select("image_id", "bytes", "caption").toPandas()
+    ver = tiling.verify_tiles(tiles, src)
+    assert ver["pass"].all()
+    assert ver["caption_ok"].all()
+    nonov = ver.loc[~ver["overwritten"], "psnr"]
+    assert (nonov == np.inf).all()  # PNG tiles: bit-exact extraction
+
+
+def test_tiles_lossy_roundtrip_psnr40(spark):
+    imgs = fixtures.images_df(spark, 150).cache()
+    tiles = tiling.materialize_tiles(imgs, zoom=6, tile_fmt="jpeg").toPandas()
+    src = imgs.select("image_id", "bytes", "caption").toPandas()
+    ver = tiling.verify_tiles(tiles, src)
+    assert ver["pass"].all()
+    nonov = ver.loc[~ver["overwritten"], "psnr"]
+    assert (nonov >= 40.0).all()
+    assert nonov.min() < np.inf  # the check is non-trivial on the lossy path
+
+
+def test_tile_keys_match_kernel(spark):
+    imgs = fixtures.images_df(spark, 100, with_bytes=False)
+    out = tiling.assign_tiles(imgs, zoom=9).toPandas()
+    from laji_pygeoapi_spark.kernels import cells as C
+    tx, ty = C.mercator_tile(out["lon"].to_numpy(), out["lat"].to_numpy(), 9)
+    assert (out["tile_x"].to_numpy() == tx).all()
+    assert (out["tile_y"].to_numpy() == ty).all()
+
+
+def test_dense_tile_capped(spark):
+    imgs = fixtures.images_df(spark, 300).cache()
+    tiles = tiling.materialize_tiles(imgs, zoom=5, max_per_tile=16).toPandas()
+    assert (tiles["n_images"] <= 16).all()
+    assert tiles["n_images"].sum() > 0
+
+
+def test_image_pipeline_assignments(spark):
+    from laji_pygeoapi_spark.plans.image_pipeline import decode_join_tile
+    imgs = fixtures.images_df(spark, 200).cache()
+    out = decode_join_tile(imgs).toPandas()
+    assert len(out) == 200
+    assert out["ok"].all()
+    # assignments agree with the kernels
+    src = imgs.select("image_id", "lon", "lat").toPandas().set_index("image_id")
+    from laji_pygeoapi_spark.kernels import cells as C
+    joined = out.set_index("image_id").join(src)
+    tx, ty = C.mercator_tile(joined["lon"].to_numpy(), joined["lat"].to_numpy(), 9)
+    assert (joined["tile_x"].to_numpy() == tx).all()
+    assert (joined["cell_r7"].to_numpy()
+            == C.hex_cell(joined["lon"].to_numpy(), joined["lat"].to_numpy(), 7)).all()
