@@ -95,12 +95,33 @@ def shingles(col: Column, n: int = 3) -> Column:
 
 
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-projection text profile: lang, tokens, chars, quality, fingerprint."""
+    """Text profile: lang, tokens, chars, quality, fingerprint.
+
+    Staged as two projections so the tokenize/marker-intersect
+    subexpressions are computed ONCE per row: a single CASE chain built
+    directly from :func:`lang_id` would inline ``tokenize`` ~40x (lambda
+    expressions are not codegen'd or CSE'd in interpreted Project nodes).
+    """
     t = F.col(text_col)
-    return df.withColumns({
-        "lang_pred": lang_id(t),
-        "n_tokens": token_count(t),
+    toks = F.array_distinct(tokenize(t))
+    order = ["en", "fi", "sv", "de"]
+    staged = df.withColumns({
+        "_ntok": token_count(t),
+        **{f"_hits_{lang}": F.size(F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])))
+           for lang in order},
+    })
+    best_lang = F.lit(order[0])
+    best_hits = F.col(f"_hits_{order[0]}")
+    for lang in order[1:]:
+        cond = F.col(f"_hits_{lang}") > best_hits
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, F.col(f"_hits_{lang}")).otherwise(best_hits)
+    out = staged.withColumns({
+        "lang_pred": F.when(best_hits > 0, best_lang),
+        "n_tokens": F.col("_ntok"),
         "n_chars_calc": char_count(t),
         "quality": quality_score(t),
         "fingerprint": fingerprint64(t),
     })
+    return out.drop("_ntok", *[f"_hits_{lang}" for lang in order])

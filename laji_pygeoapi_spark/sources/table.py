@@ -40,6 +40,12 @@ def write_partitioned(df: DataFrame, root: str, job_id: str,
     file counts (one shuffle, then parallel writes per partition)."""
     part_cols = [c for c in partition_cols if c in df.columns]
     out = df.repartition(*[F.col(c) for c in part_cols]) if part_cols else df
+    # sort within partitions on the fine cell key: clusters rows so parquet
+    # row-group min/max stats on lon/lat/cell become tight -> rowgroup
+    # pruning on bbox scans (the engine's GIST-index replacement)
+    sort_key = next((c for c in ("cell_r7", "cell_r5", "lon") if c in df.columns), None)
+    if sort_key:
+        out = out.sortWithinPartitions(sort_key)
     (out.write.mode(mode).partitionBy(*part_cols).parquet(os.path.join(root, "data")))
     manifest = build_manifest(df, part_cols)
     manifest_doc = {

@@ -1,0 +1,86 @@
+"""Physical-plan quality gates: these assert the *plan shape*, not results —
+pushdown reaching parquet, broadcast joins chosen, partition pruning firing.
+A plan regression here is a scale bug even when answers stay correct."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from laji_pygeoapi_spark.plans import ingest as ING
+from laji_pygeoapi_spark.sources import fixtures, table as store
+
+
+@pytest.fixture(scope="module")
+def stored(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("plans") / "store")
+    imgs = fixtures.images_df(spark, 2000, with_bytes=False)
+    store.write_partitioned(ING.ingest_fused(imgs), root, "p1")
+    return store.read_table(spark, root)
+
+
+def _plan(df, mode="formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode)
+
+
+def test_bbox_filters_pushed_to_parquet(stored):
+    q = stored.filter((F.col("lon") >= 24.5) & (F.col("lon") <= 25.5)
+                      & (F.col("lat") >= 59.9) & (F.col("lat") <= 60.5)) \
+              .select("image_id", "lon", "lat")
+    plan = _plan(q)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(lon,24.5)" in plan
+    # column pruning: scan reads only the 3 needed data columns
+    assert "caption" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_partition_pruning_on_cell_prefix(stored):
+    cells = [r["cell_prefix"] for r in
+             stored.select("cell_prefix").distinct().limit(2).collect()]
+    q = stored.filter(F.col("cell_prefix").isin(cells))
+    plan = _plan(q)
+    # partition filters appear separately from data filters
+    assert "PartitionFilters" in plan
+    assert "cell_prefix" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_star_join_broadcasts_dims(spark):
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    r = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    q = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+          .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+          .groupBy("n_name").count())
+    plan = _plan(q)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_merge_has_partial_aggregation(spark):
+    from laji_pygeoapi_spark.operators import maintenance as M
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("s"))
+    plan = _plan(q)
+    # map-side partial agg before the exchange
+    assert "partial_sum" in plan or "HashAggregate" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_transform_chain_single_python_eval(spark):
+    """The fused ingest must evaluate exactly ONE Python UDF node."""
+    imgs = fixtures.images_df(spark, 10, with_bytes=False)
+    q = ING.ingest_fused(imgs, zooms=(9,))
+    plan = _plan(q.select("image_id", "Kunta", "tile_x_z9"), "simple")
+    assert plan.count("ArrowEvalPython") <= 1 + plan.count("MapInPandas")
+
+
+def test_text_profile_stays_jvm_side(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from laji_pygeoapi_spark.operators import text as TX
+    q = TX.profile(docs)
+    plan = _plan(q, "simple")
+    # no Python on the scalar surface (higher-order fns are interpreted but
+    # JVM-side; what must never appear is a Python eval node)
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # the expensive tokenize subexpressions are staged, not inlined ~40x:
+    # the plan text stays bounded
+    assert plan.count("array_intersect") <= 12
