@@ -16,10 +16,16 @@ from integer ids with arithmetic both engines evaluate identically:
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from laji_pygeoapi_spark.functions import expressions as E
 from laji_pygeoapi_spark.operators import dedup as DD
@@ -43,7 +49,26 @@ KNN_QUERIES = [(f"q{i}", 20.0 + 1.25 * i, 60.0 + 1.1 * i) for i in range(8)]
 LANG_MAP = {"en": "English", "fi": "Finnish", "de": "German", "zh": "Chinese"}
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable on executor python workers regardless of
+    the driver's cwd/session config (the caller owns the SparkSession)."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    try:
+        sys.path.insert(0, _REPO)
+        from tools.make_pyfiles import main as build_zip
+        spark.sparkContext.addPyFile(build_zip())
+    except Exception:
+        pass  # local-mode cwd==repo works without it
+    _SHIPPED.add(key)
+
+
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ship_package(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
