@@ -196,6 +196,32 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
              .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")).distinct())
 
 
+# ------------------------------------------------------------ phash near-dup
+
+def phash_candidates(df: DataFrame, phash_col: str = "phash",
+                     id_col: str = "image_id", bands: int = 4) -> DataFrame:
+    """Image near-dup candidates from a 64-bit perceptual hash column:
+    banded chunk join (same machinery as SimHash — docs sharing any
+    16-bit chunk are candidates, i.e. Hamming-tolerant blocking).
+    The exact Hamming verify runs JVM-side via bit_count(xor)."""
+    w = 64 // bands
+    s = df.select(F.col(id_col).alias("id"), F.col(phash_col).alias("h"))
+    banded = s.select("id", "h", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftrightunsigned("h", i * w).bitwiseAND(F.lit((1 << w) - 1)).alias("chunk"))
+        for i in range(bands)])).alias("b")).select("id", "h", "b.band", "b.chunk")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (l.join(r, ["band", "chunk"]).filter(F.col("l.id") < F.col("r.id"))
+             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                     F.bit_count(F.col("l.h").bitwiseXOR(F.col("r.h"))).alias("hamming"))
+             .distinct())
+
+
+def phash_neardup(df: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
+    """Verified image near-dup pairs: banded candidates + exact Hamming cut."""
+    return phash_candidates(df, **kw).filter(F.col("hamming") <= max_hamming)
+
+
 # ------------------------------------------------------- embedding near-dup
 
 def embedding_neardup(df: DataFrame, vec_col: str = "embedding",

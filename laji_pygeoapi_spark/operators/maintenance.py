@@ -149,6 +149,20 @@ def temporal_extent(df: DataFrame, start: str = "Keruu_aloitus_pvm",
     return (row["min_date"], row["max_date"]) if row else (None, None)
 
 
+def write_metadata_manifest(df: DataFrame, path: str,
+                            collection_col: str = "Aineiston_tunniste") -> list[dict]:
+    """S8/S9 — persist the per-collection OGC-Records-style manifest as JSON
+    (replaces the reference's TinyDB store + pygeoapi-config YAML rewrite,
+    ``edit_metadata.py:88-217``, ``edit_config.py:5-58``)."""
+    import json
+    import os
+    docs = collection_metadata(df, collection_col)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"collections": docs}, f, ensure_ascii=False, indent=1)
+    return docs
+
+
 def collection_metadata(df: DataFrame, collection_col: str = "Aineiston_tunniste") -> list[dict]:
     """S8/A3-A6 — one OGC-Records-style manifest dict per collection
     (reference ``edit_metadata.py:24-86``): bbox, temporal extent, count,
