@@ -120,7 +120,7 @@ def q_knn(spark, sf_dir):
     import pandas as pd
     pts = _points(spark, sf_dir).withColumnRenamed("doc_id", "pid")
     queries = pd.DataFrame(KNN_QUERIES, columns=["query_id", "lon", "lat"])
-    out = SP.knn_join(spark, pts, queries, k=5, res=5, ring=2, point_id="pid")
+    out = SP.knn_join(spark, pts, queries, k=5, res=5, point_id="pid")
     return out.select("query_id", F.col("pid").alias("doc_id"), "rank")
 
 

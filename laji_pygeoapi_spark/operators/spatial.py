@@ -164,7 +164,7 @@ def pip_join(df: DataFrame, polygons: pd.DataFrame,
 # ----------------------------------------------------------------- kNN
 
 def knn_join(spark: SparkSession, points: DataFrame, queries: pd.DataFrame,
-             k: int = 5, res: int = DEFAULT_HEX_RES, ring: int = 1,
+             k: int = 5, res: int = DEFAULT_HEX_RES, ring: int | None = None,
              lon: str = "lon", lat: str = "lat",
              point_id: str = "image_id", max_ring: int = 64) -> DataFrame:
     """J5 — kNN via k-ring expansion + exact haversine re-rank (north rule).
@@ -174,10 +174,22 @@ def knn_join(spark: SparkSession, points: DataFrame, queries: pd.DataFrame,
     cell id -> haversine -> row_number per query <= k.  If any query has
     fewer than k candidates in its ring, the ring is doubled (driver-side
     retry on the *incomplete queries only* — geometrically bounded loop).
+
+    ``ring=None`` auto-sizes the first ring from global point density so a
+    typical query resolves in ONE round: expected candidates per ring =
+    density * ring cells; we target 4k with a safety floor of 1.
     """
     pts = points.withColumn("_cell", hex_cell_udf(res)(F.col(lon), F.col(lat)))
     pts = pts.select(point_id, lon, lat, "_cell").cache()
     try:
+        if ring is None:
+            stats = pts.agg(F.count(F.lit(1)).alias("n"),
+                            F.countDistinct("_cell").alias("c")).first()
+            density = stats["n"] / max(stats["c"], 1)
+            need_cells = 4.0 * k / max(density, 1e-9)
+            ring = 1
+            while (3 * ring * ring + 3 * ring + 1) < need_cells and ring < max_ring:
+                ring *= 2
         remaining = queries
         results = []
         cur_ring = ring

@@ -1,0 +1,113 @@
+"""Property-based kernel tests (hypothesis): PIP, grid index, cells, WKB,
+CRS — randomized invariants beyond the fixed goldens."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from laji_pygeoapi_spark.kernels import cells as C
+from laji_pygeoapi_spark.kernels import crs
+from laji_pygeoapi_spark.kernels import geom as G
+from laji_pygeoapi_spark.kernels import wkb as W
+
+coord = st.floats(min_value=-80.0, max_value=80.0, allow_nan=False, width=64)
+
+
+@given(st.lists(st.tuples(coord, coord), min_size=3, max_size=12), st.data())
+@settings(max_examples=60, deadline=None)
+def test_convex_hull_pip_properties(pts, data):
+    arr = np.array(pts)
+    hull = G.convex_hull(arr)
+    if len(hull) < 3:
+        return
+    poly = ("Polygon", [W._close_ring(hull)])
+    cx, cy = hull[:, 0].mean(), hull[:, 1].mean()
+    # centroid of hull vertices is inside a convex polygon
+    assert G.points_in_polygon(np.array([cx]), np.array([cy]), poly)[0]
+    # a point far outside the bbox is outside
+    minx, miny, maxx, maxy = W.bounds(poly)
+    far = np.array([[maxx + 10.0], [maxy + 10.0]])
+    assert not G.points_in_polygon(far[0], far[1], poly)[0]
+
+
+@given(st.integers(min_value=0, max_value=10**9),
+       st.integers(min_value=2, max_value=12))
+@settings(max_examples=80, deadline=None)
+def test_hex_cell_center_fixed_point(seed, res):
+    rng = np.random.RandomState(seed % 2**32)
+    lon = rng.uniform(-170, 170, 5)
+    lat = rng.uniform(-80, 80, 5)
+    c = C.hex_cell(lon, lat, res)
+    clon, clat = C.hex_center(c)
+    assert (C.hex_cell(clon, clat, res) == c).all()
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=40, deadline=None)
+def test_s2_parent_nesting_chain(seed):
+    rng = np.random.RandomState(seed % 2**32)
+    lon = rng.uniform(-179, 179, 4)
+    lat = rng.uniform(-85, 85, 4)
+    prev = C.s2_cell(lon, lat, 30)
+    for level in (25, 18, 10, 4):
+        cur = C.s2_cell(lon, lat, level)
+        assert (C.s2_parent(prev, level) == cur).all()
+        prev = cur
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=40, deadline=None)
+def test_grid_index_matches_naive_loop(seed):
+    rng = np.random.RandomState(seed % 2**32)
+    # random non-overlapping grid rectangles (like the municipality fixture)
+    polys = []
+    k = 0
+    for gy in range(3):
+        for gx in range(3):
+            x0, y0 = gx * 10.0, gy * 10.0
+            shell = [(x0, y0), (x0 + 9.0, y0), (x0 + 9.0, y0 + 9.0), (x0, y0 + 9.0)]
+            polys.append((f"p{k}", (), (x0, y0, x0 + 9.0, y0 + 9.0), W.polygon(shell)))
+            k += 1
+    index = G.PolygonGridIndex(polys)
+    px = rng.uniform(-2, 32, 300)
+    py = rng.uniform(-2, 32, 300)
+    got = index.assign(px, py)
+    naive = np.full(300, -1, dtype=np.int32)
+    for i, (_, _, (x0, y0, x1, y1), geom) in enumerate(polys):
+        m = (naive < 0) & (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+        idx = np.nonzero(m)[0]
+        if len(idx):
+            hit = G.points_in_polygon(px[idx], py[idx], geom)
+            naive[idx[hit]] = i
+    assert (got == naive).all()
+
+
+@given(st.lists(st.tuples(coord, coord), min_size=2, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_wkb_roundtrip_random_linestrings(pts):
+    g = W.linestring(pts)
+    back = W.loads(W.dumps(g))
+    assert back[0] == "LineString"
+    assert np.allclose(back[1], g[1])
+
+
+@given(st.floats(min_value=19.2, max_value=31.4, allow_nan=False),
+       st.floats(min_value=59.6, max_value=70.0, allow_nan=False))
+@settings(max_examples=80, deadline=None)
+def test_crs_roundtrip_property(lon, lat):
+    x, y = crs.wgs84_to_tm35fin(np.float64(lon), np.float64(lat))
+    lon2, lat2 = crs.tm35fin_to_wgs84(x, y)
+    assert abs(float(lon2) - lon) < 1e-9
+    assert abs(float(lat2) - lat) < 1e-9
+
+
+@given(st.integers(min_value=0, max_value=10**9),
+       st.integers(min_value=1, max_value=14))
+@settings(max_examples=60, deadline=None)
+def test_tile_contains_its_point(seed, zoom):
+    rng = np.random.RandomState(seed % 2**32)
+    lon = float(rng.uniform(-179, 179))
+    lat = float(rng.uniform(-84, 84))
+    x, y = C.mercator_tile(np.array([lon]), np.array([lat]), zoom)
+    w, s, e, n = C.tile_bounds(zoom, int(x[0]), int(y[0]))
+    assert w - 1e-9 <= lon <= e + 1e-9
+    assert s - 1e-9 <= lat <= n + 1e-9
