@@ -432,7 +432,7 @@ def oracle_sql() -> dict[str, str]:
                  "WHEN 'de' THEN 'German' WHEN 'zh' THEN 'Chinese' ELSE v END")
     markers = {
         "en": "['the','and','of','to','in']",
-        "fi": "['ja','on','ei','että','se']",
+        "fi": "['ja','on','ei','oli','se']",
         "sv": "['och','att','det','som','en']",
         "de": "['der','und','die','das','ist']",
     }

@@ -238,7 +238,7 @@ def s2_cell(lon, lat, level: int = 30) -> np.ndarray:
     cell = n * np.uint64(2) + np.uint64(1)  # leaf (level 30) id
     if level < 30:
         lsb = np.uint64(1) << np.uint64(2 * (30 - level))
-        cell = (cell & (~(lsb - np.uint64(1)) - lsb + lsb)) if False else ((cell & ~(np.uint64(2) * lsb - np.uint64(1))) | lsb)
+        cell = (cell & ~(np.uint64(2) * lsb - np.uint64(1))) | lsb
     return cell.astype(np.int64)
 
 

@@ -356,8 +356,13 @@ def _gh_clip(subj: np.ndarray, clip: np.ndarray, op: str):
 
     # entry/exit flags
     def mark(lst, other_ring, invert):
+        # classify from the midpoint of the first edge: a ring VERTEX can lie
+        # exactly on the other polygon's boundary (shared-edge fixtures),
+        # where even-odd containment is ambiguous; an edge midpoint before
+        # the first intersection is strictly in or out
+        probe = (lst[0]["pt"] + lst[1]["pt"]) / 2 if len(lst) > 1 else lst[0]["pt"]
         inside = point_in_polygon(
-            *((lst[0]["pt"] + lst[1]["pt"]) / 2 if False else lst[0]["pt"]),
+            probe[0], probe[1],
             ("Polygon", [wkb._close_ring(np.vstack([other_ring, other_ring[:1]]))]),
         )
         entry = not inside

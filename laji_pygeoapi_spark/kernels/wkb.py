@@ -144,8 +144,13 @@ def loads(buf: bytes):
 def _read(mv: memoryview, off: int):
     little = mv[off] == 1
     bo = "<" if little else ">"
-    code = struct.unpack_from(bo + "I", mv, off + 1)[0] & 0xFF  # mask any SRID flag bits
+    raw_code = struct.unpack_from(bo + "I", mv, off + 1)[0]
     off += 5
+    if raw_code & 0x20000000:  # PostGIS EWKB: an SRID int follows the header
+        off += 4
+    if raw_code & 0xC0000000:
+        raise NotImplementedError("Z/M coordinates are not supported (2-D engine)")
+    code = raw_code & 0xFF
     kind = _CODE_TO_KIND[code]
     if kind == "Point":
         x, y = struct.unpack_from(bo + "2d", mv, off)

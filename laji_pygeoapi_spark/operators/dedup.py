@@ -75,7 +75,9 @@ def minhash_signature_udf(num_perm: int = 64, shingle_n: int = 3, seed: int = 42
             else:
                 sh = {" ".join(toks)} if toks else set()
             if not sh:
-                out.append(np.zeros(num_perm, dtype=np.int64).tolist())
+                # null, not zeros: an all-zero sentinel would make every
+                # token-less doc collide with every other in all bands
+                out.append(None)
                 continue
             hv = np.fromiter((_hash64(s.encode()) for s in sh), dtype=np.uint64, count=len(sh))
             with np.errstate(over="ignore"):
@@ -111,7 +113,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     """
     r = num_perm // bands
     sig = minhash_signature_udf(num_perm, shingle_n)
-    s = df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
+    s = (df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
+           .filter(F.col("sig").isNotNull()))  # token-less docs can't near-dup
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = s.select(
         "id",
@@ -186,7 +189,8 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     """Near-dup candidates: split the 64-bit simhash into ``bands`` chunks;
     docs sharing any chunk value are candidates (<= 16/band Hamming tolerance)."""
     w = 64 // bands
-    s = df.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("h"))
+    s = (df.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("h"))
+           .filter(F.col("h") != 0))  # 0 = token-less sentinel, see simhash_udf
     banded = s.select("id", F.explode(F.array(*[
         F.struct(F.lit(i).alias("band"),
                  F.shiftrightunsigned("h", i * w).bitwiseAND(F.lit((1 << w) - 1)).alias("chunk"))
@@ -233,8 +237,12 @@ def embedding_neardup(df: DataFrame, vec_col: str = "embedding",
     higher-order functions (zip_with/aggregate), no Python.
     """
     from .similarity import lsh_bucket_expr, cosine_expr
+    # hyperplane dimension must match the data (zip_with null-pads a
+    # mismatch, collapsing every row into bucket 0 = quadratic join)
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else 16
     b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                  lsh_bucket_expr(F.col(vec_col), planes=8, seed=1).alias("bucket"))
+                  lsh_bucket_expr(F.col(vec_col), planes=8, seed=1, dim=dim).alias("bucket"))
     l, r = b.alias("l"), b.alias("r")
     pairs = (l.join(r, "bucket").filter(F.col("l.id") < F.col("r.id"))
               .withColumn("cosine", cosine_expr(F.col("l.v"), F.col("r.v")))

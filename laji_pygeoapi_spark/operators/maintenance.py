@@ -37,9 +37,14 @@ def remove_duplicates(df: DataFrame, key: str = DEDUP_KEY,
 
 
 def _first_key() -> Column:
-    """Deterministic 'first' ordering: latest load date wins, id tie-break."""
-    days = F.datediff(F.col(ORDER_COL), F.lit("1970-01-01"))
-    return F.struct((-F.coalesce(days, F.lit(-2147483648))).alias("d"),
+    """Deterministic 'first' ordering: latest load date wins, id tie-break.
+
+    Long arithmetic throughout: negating an int32 sentinel overflows under
+    ANSI mode (Spark 4 default), and the wrapped value would make null-dated
+    rows win.  Null load dates map to +2^60 so they sort LAST (same
+    nulls-last semantics as remove_duplicates)."""
+    days = F.datediff(F.col(ORDER_COL), F.lit("1970-01-01")).cast("long")
+    return F.struct(F.coalesce(-days, F.lit(1 << 60)).alias("d"),
                     F.coalesce(F.col(DEDUP_KEY), F.lit("")).alias("i"))
 
 

@@ -192,7 +192,7 @@ def knn_join(spark: SparkSession, points: DataFrame, queries: pd.DataFrame,
                 ring *= 2
         remaining = queries
         results = []
-        cur_ring = ring
+        cur_ring = min(ring, max_ring)
         while len(remaining) and cur_ring <= max_ring:
             qcells = C.hex_kring(
                 C.hex_cell(remaining["lon"].to_numpy(), remaining["lat"].to_numpy(), res),
@@ -212,21 +212,36 @@ def knn_join(spark: SparkSession, points: DataFrame, queries: pd.DataFrame,
             got = ranked.groupBy("query_id").count().toPandas()
             complete = set(got.loc[got["count"] >= k, "query_id"])
             # a neighbor could sit just outside the ring while k were found
-            # inside it; require the k-th distance to be covered by the ring
-            ring_radius_deg = (11.0 / np.sqrt(7.0) ** res) * cur_ring
-            safe_m = ring_radius_deg * 111_000 * 0.4  # conservative cos(lat) margin
+            # inside it; require the k-th distance to be covered by the ring.
+            # The k-ring guarantees ~inradius coverage (0.866*size*ring deg);
+            # ground meters shrink east-west by cos(lat): 0.866*cos(71N)~0.28,
+            # so 0.25 is the conservative global factor for this data domain.
+            ring_radius_deg = float(C._hex_size(res)) * cur_ring
+            safe_m = ring_radius_deg * 111_000 * 0.25
             kth = (ranked.filter(F.col("rank") == k)
                    .select("query_id", "dist_m").toPandas())
             unsafe = set(kth.loc[kth["dist_m"] > safe_m, "query_id"])
-            done_ids = (complete - unsafe) if cur_ring < max_ring else set(remaining["query_id"])
+            last_round = cur_ring >= max_ring
+            done_ids = set(remaining["query_id"]) if last_round else (complete - unsafe)
             if done_ids:
                 done_pdf = ranked.filter(F.col("query_id").isin(list(done_ids)))
                 results.append(done_pdf.toPandas())
             remaining = remaining[~remaining["query_id"].isin(done_ids)]
-            cur_ring *= 2
-        out = pd.concat(results, ignore_index=True) if results else pd.DataFrame(
-            columns=["query_id", point_id, lon, lat, "dist_m", "rank"])
-        return spark.createDataFrame(out)
+            cur_ring = max_ring if (cur_ring < max_ring <= cur_ring * 2) else cur_ring * 2
+        results = [r for r in results if len(r)]
+        if results:
+            return spark.createDataFrame(pd.concat(results, ignore_index=True))
+        # typed empty result (createDataFrame cannot infer from an empty pdf)
+        from pyspark.sql import types as _T
+        empty_schema = _T.StructType([
+            _T.StructField("query_id", _T.StringType()),
+            _T.StructField(point_id, _T.StringType()),
+            _T.StructField(lon, _T.DoubleType()),
+            _T.StructField(lat, _T.DoubleType()),
+            _T.StructField("dist_m", _T.DoubleType()),
+            _T.StructField("rank", _T.IntegerType()),
+        ])
+        return spark.createDataFrame([], schema=empty_schema)
     finally:
         pts.unpersist()
 

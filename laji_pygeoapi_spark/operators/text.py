@@ -11,10 +11,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# tiny per-language stopword seeds for the n-gram/stopword heuristic
+# tiny per-language stopword seeds for the n-gram/stopword heuristic.
+# ASCII-only by construction: tokenize() splits on [^a-z0-9']+, so a marker
+# containing 'ä'/'ö' could never match its own tokenization.
 _LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "in"],
-    "fi": ["ja", "on", "ei", "että", "se"],
+    "fi": ["ja", "on", "ei", "oli", "se"],
     "sv": ["och", "att", "det", "som", "en"],
     "de": ["der", "und", "die", "das", "ist"],
 }

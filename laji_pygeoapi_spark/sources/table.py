@@ -39,7 +39,13 @@ def write_partitioned(df: DataFrame, root: str, job_id: str,
     lineage manifest.  An explicit repartition on the partition key bounds
     file counts (one shuffle, then parallel writes per partition)."""
     part_cols = [c for c in partition_cols if c in df.columns]
-    out = df.repartition(*[F.col(c) for c in part_cols]) if part_cols else df
+    # honor salt_dense_cells: a _salt column splits hot cells across writer
+    # tasks (shuffle key only — it is dropped from the stored table)
+    shuffle_cols = part_cols + (["_salt"] if "_salt" in df.columns else [])
+    out = df.repartition(*[F.col(c) for c in shuffle_cols]) if shuffle_cols else df
+    if "_salt" in df.columns:
+        out = out.drop("_salt")
+        df = df.drop("_salt")
     # sort within partitions on the fine cell key: clusters rows so parquet
     # row-group min/max stats on lon/lat/cell become tight -> rowgroup
     # pruning on bbox scans (the engine's GIST-index replacement)
