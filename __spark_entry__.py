@@ -115,6 +115,22 @@ def q_pip_municipality(spark, sf_dir):
                   .agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def q_count_preflight(spark, sf_dir):
+    """S3 — scan-size pre-estimation (count preflight)."""
+    return (_tbl(spark, sf_dir, "lineitem")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("l_orderkey").alias("n_orders")))
+
+
+def q_pip_province(spark, sf_dir):
+    """J4 variant — biogeographical province attribution (21 polygons)."""
+    from laji_pygeoapi_spark.sources import fixtures
+    pts = _points(spark, sf_dir)
+    joined = SP.pip_join(pts, fixtures.provinces_pdf(), extra_cols=("name",))
+    return (joined.groupBy(F.col("poly_id").alias("province_id"))
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+
+
 def q_knn(spark, sf_dir):
     """J5 — kNN via hex k-ring expansion + exact haversine re-rank."""
     import pandas as pd
@@ -389,7 +405,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bbox_filter": q_bbox_filter,
+        "count_preflight": q_count_preflight,
         "pip_municipality": q_pip_municipality,
+        "pip_province": q_pip_province,
         "knn": q_knn,
         "hex_cells": q_hex_cells,
         "s2_cells": q_s2_cells,
@@ -473,6 +491,21 @@ def oracle_sql() -> dict[str, str]:
             FROM cells c JOIN (VALUES {_MUNI_VALUES}) m(idx, name)
               ON c.gy * 4 + c.gx = m.idx
             GROUP BY m.name
+        """,
+        "count_preflight": """
+            SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem
+        """,
+        "pip_province": f"""
+            WITH {_PTS_CTE},
+            cells AS (
+              SELECT least(2, greatest(0, CAST(floor((lon - {_FIN[0]}) / ({_FIN[2]} - {_FIN[0]}) * 3) AS INT))) AS gx,
+                     least(6, greatest(0, CAST(floor((lat - {_FIN[1]}) / ({_FIN[3]} - {_FIN[1]}) * 7) AS INT))) AS gy
+              FROM pts
+            )
+            SELECT 'ML.' || CAST(251 + c.gy * 3 + c.gx AS VARCHAR) AS province_id,
+                   count(*) AS cnt
+            FROM cells c GROUP BY 1
         """,
         "knn": f"""
             WITH {_PTS_CTE},
