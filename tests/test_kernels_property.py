@@ -19,7 +19,10 @@ def test_convex_hull_pip_properties(pts, data):
     hull = G.convex_hull(arr)
     if len(hull) < 3:
         return
-    poly = ("Polygon", [W._close_ring(hull)])
+    ring = W._close_ring(hull)
+    if abs(G.ring_area(ring)) < 1e-6:
+        return  # degenerate sliver: centroid sits on the boundary (fp-ambiguous)
+    poly = ("Polygon", [ring])
     cx, cy = hull[:, 0].mean(), hull[:, 1].mean()
     # centroid of hull vertices is inside a convex polygon
     assert G.points_in_polygon(np.array([cx]), np.array([cy]), poly)[0]
