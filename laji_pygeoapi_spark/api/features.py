@@ -102,7 +102,9 @@ def items(df: DataFrame, bbox=None, datetime_range: str | None = None,
     pred = F.lit(True)
     if bbox is not None:
         cell = "cell_prefix" if "cell_prefix" in df.columns else None
-        pred = pred & bbox_predicate(*bbox, cell_col=cell)
+        env = (("env_minx", "env_miny", "env_maxx", "env_maxy")
+               if "env_minx" in df.columns else None)
+        pred = pred & bbox_predicate(*bbox, cell_col=cell, envelope_cols=env)
     if datetime_range:
         if "/" in datetime_range:
             start, end = datetime_range.split("/")

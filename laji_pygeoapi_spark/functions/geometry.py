@@ -25,6 +25,13 @@ GEO_STRUCT = T.StructType([
     T.StructField("geom_kind", T.StringType()),
     T.StructField("lon", T.DoubleType()),
     T.StructField("lat", T.DoubleType()),
+    # envelope: bbox queries use PostGIS `&&` semantics (envelope
+    # intersection), not centroid membership — large lines/polygons
+    # straddling a bbox edge must still match
+    T.StructField("env_minx", T.DoubleType()),
+    T.StructField("env_miny", T.DoubleType()),
+    T.StructField("env_maxx", T.DoubleType()),
+    T.StructField("env_maxy", T.DoubleType()),
     T.StructField("was_invalid", T.BooleanType()),
     T.StructField("was_collection", T.BooleanType()),
 ])
@@ -42,6 +49,7 @@ def process_geometry(wkb_col: pd.Series) -> pd.DataFrame:
     kinds: list = [None] * n
     lons = np.full(n, np.nan)
     lats = np.full(n, np.nan)
+    envs = np.full((n, 4), np.nan)
     inv = np.zeros(n, dtype=bool)
     conv = np.zeros(n, dtype=bool)
     for idx, blob in enumerate(wkb_col):
@@ -61,9 +69,12 @@ def process_geometry(wkb_col: pd.Series) -> pd.DataFrame:
         kinds[idx] = W.geom_kind(g)
         lon, lat = W.centroid(g)
         lons[idx], lats[idx] = lon, lat
+        envs[idx] = W.bounds(g)
     return pd.DataFrame({
         "geometry": out_geom, "geom_kind": kinds,
         "lon": lons, "lat": lats,
+        "env_minx": envs[:, 0], "env_miny": envs[:, 1],
+        "env_maxx": envs[:, 2], "env_maxy": envs[:, 3],
         "was_invalid": inv, "was_collection": conv,
     })
 

@@ -148,6 +148,10 @@ def apply_geometry(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
                   "geom_kind": F.col("_geo.geom_kind"),
                   "lon": F.col("_geo.lon"),
                   "lat": F.col("_geo.lat"),
+                  "env_minx": F.col("_geo.env_minx"),
+                  "env_miny": F.col("_geo.env_miny"),
+                  "env_maxx": F.col("_geo.env_maxx"),
+                  "env_maxy": F.col("_geo.env_maxy"),
                   "was_invalid": F.col("_geo.was_invalid"),
                   "was_collection": F.col("_geo.was_collection"),
               })

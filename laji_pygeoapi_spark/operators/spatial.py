@@ -99,14 +99,33 @@ def with_cells(df: DataFrame, lon: str = "lon", lat: str = "lat",
 
 def bbox_predicate(minx: float, miny: float, maxx: float, maxy: float,
                    lon: str = "lon", lat: str = "lat",
-                   cell_col: str | None = "cell_prefix"):
-    """P6 — bbox -> Column predicate.  The lon/lat range goes to parquet
+                   cell_col: str | None = "cell_prefix",
+                   envelope_cols: tuple[str, str, str, str] | None = None):
+    """P6 — bbox -> Column predicate.  The range conjunctions go to parquet
     row-group pruning; the optional cell-IN list prunes hive/Iceberg
-    partitions before any IO (the planner-generated predicate of SURVEY §4)."""
-    pred = ((F.col(lon) >= minx) & (F.col(lon) <= maxx)
-            & (F.col(lat) >= miny) & (F.col(lat) <= maxy))
+    partitions before any IO (the planner-generated predicate of SURVEY §4).
+
+    With ``envelope_cols`` (env_minx, env_miny, env_maxx, env_maxy), the
+    predicate is envelope INTERSECTION — PostGIS ``geometry && box``
+    semantics, so lines/polygons straddling the box edge match even when
+    their centroid is outside.  Without them it is point membership.
+    """
+    cover_pad = 0.0
+    if envelope_cols:
+        x0, y0, x1, y1 = envelope_cols
+        pred = ((F.col(x1) >= minx) & (F.col(x0) <= maxx)
+                & (F.col(y1) >= miny) & (F.col(y0) <= maxy))
+        # cell_prefix is centroid-derived: pad the partition cover so a
+        # geometry whose centroid cell lies outside the box still scans
+        # (1 deg >> any single occurrence geometry in this domain)
+        cover_pad = 1.0
+    else:
+        pred = ((F.col(lon) >= minx) & (F.col(lon) <= maxx)
+                & (F.col(lat) >= miny) & (F.col(lat) <= maxy))
     if cell_col:
-        cover = C.hex_cells_in_bbox(minx, miny, maxx, maxy, PARTITION_RES)
+        cover = C.hex_cells_in_bbox(minx - cover_pad, miny - cover_pad,
+                                    maxx + cover_pad, maxy + cover_pad,
+                                    PARTITION_RES)
         pred = F.col(cell_col).isin([int(c) for c in cover]) & pred
     return pred
 

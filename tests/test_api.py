@@ -107,3 +107,20 @@ def test_geojson_crs_3067(spark, occ):
     f = json.loads(gj[0]["feature_json"])
     e, n = f["geometry"]["coordinates"]
     assert 0 < e < 1_000_000 and 6_500_000 < n < 7_900_000  # TM35FIN range
+
+
+def test_bbox_envelope_semantics_straddling_polygon(spark):
+    """PostGIS `&&` parity: a polygon crossing the bbox edge matches even
+    though its centroid is outside the box."""
+    import pandas as pd
+    from laji_pygeoapi_spark.kernels import wkb as W
+    from laji_pygeoapi_spark.functions.transform import apply_geometry
+    # polygon spanning lon 24.8..25.4 (centroid 25.1), bbox ends at 25.0
+    poly = W.dumps(W.polygon([(24.8, 60.0), (25.4, 60.0), (25.4, 60.3), (24.8, 60.3)]))
+    pt_out = W.dumps(W.point(26.0, 60.1))
+    pdf = pd.DataFrame({"Paikallinen_tunniste": ["straddle", "outside"],
+                        "geometry": [poly, pt_out]})
+    df = apply_geometry(spark.createDataFrame(pdf))
+    page, matched = API.items(df, bbox=(24.0, 59.8, 25.0, 60.5), limit=10)
+    ids = {r["Paikallinen_tunniste"] for r in page.collect()}
+    assert matched == 1 and ids == {"straddle"}
