@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -88,7 +89,8 @@ def _property_predicate(name: str, value: str):
     return col == value
 
 
-def items(df: DataFrame, bbox=None, datetime_range: str | None = None,
+def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
+          datetime_range: str | None = None,
           properties: list[tuple[str, str]] | None = None,
           sortby: list[tuple[str, str]] | None = None,
           limit: int = DEFAULT_LIMIT, offset: int = 0,
@@ -97,6 +99,9 @@ def items(df: DataFrame, bbox=None, datetime_range: str | None = None,
 
     datetime_range: RFC 'start/end' (open ends with '..') on Keruu_aloitus_pvm
     (time_field, template_resource.txt:29).
+    intersects: WKB polygon — OGC intersects filter (north star: "bbox/
+    intersects feature queries"); envelope prefilter pushed to the scan, then
+    an exact vectorized point-in-polygon UDF on the candidates.
     """
     limit, offset = validate_paging(limit, offset)
     pred = F.lit(True)
@@ -105,6 +110,9 @@ def items(df: DataFrame, bbox=None, datetime_range: str | None = None,
         env = (("env_minx", "env_miny", "env_maxx", "env_maxy")
                if "env_minx" in df.columns else None)
         pred = pred & bbox_predicate(*bbox, cell_col=cell, envelope_cols=env)
+    if intersects is not None:
+        df = _apply_intersects(df, intersects)
+        pred = pred & F.col("_intersects")
     if datetime_range:
         if "/" in datetime_range:
             start, end = datetime_range.split("/")
@@ -127,7 +135,42 @@ def items(df: DataFrame, bbox=None, datetime_range: str | None = None,
              for c, d in (sortby or [])]
     order.append(F.col(_id_column(df)).asc())  # stable paging key
     page = filtered.orderBy(*order).offset(offset).limit(limit)
+    if "_intersects" in page.columns:
+        page = page.drop("_intersects")
     return page, number_matched
+
+
+def _apply_intersects(df: DataFrame, polygon_wkb: bytes) -> DataFrame:
+    """Add a boolean ``_intersects`` column: envelope prefilter (pure JVM
+    range predicates — scan-prunable) AND exact PIP of the feature point.
+
+    Point features get exact semantics; non-points use their centroid +
+    envelope overlap (CENTER_POINT serving representation, the reference's
+    ``featureType`` default, ``lajiapi_provider.py:73``)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernels import geom as G
+    from ..kernels import wkb as W
+
+    geom = W.loads(polygon_wkb)
+    gx0, gy0, gx1, gy1 = W.bounds(geom)
+
+    @pandas_udf(T.BooleanType())
+    def _pip(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        import numpy as np
+        px = lon.to_numpy(np.float64)
+        py = lat.to_numpy(np.float64)
+        return pd.Series(G.points_in_polygon(px, py, geom))
+
+    env_ok = ((F.col("lon") >= gx0) & (F.col("lon") <= gx1)
+              & (F.col("lat") >= gy0) & (F.col("lat") <= gy1))
+    if "env_minx" in df.columns:
+        env_ok = env_ok | ((F.col("env_maxx") >= gx0) & (F.col("env_minx") <= gx1)
+                           & (F.col("env_maxy") >= gy0) & (F.col("env_miny") <= gy1))
+    return df.withColumn(
+        "_intersects",
+        F.when(env_ok, _pip(F.col("lon"), F.col("lat"))).otherwise(F.lit(False)))
 
 
 def _id_column(df: DataFrame) -> str:

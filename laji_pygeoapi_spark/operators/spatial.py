@@ -228,18 +228,19 @@ def knn_join(spark: SparkSession, points: DataFrame, queries: pd.DataFrame,
             ranked = (cand.withColumn("rank", F.row_number().over(w))
                           .filter(F.col("rank") <= k)
                           .select("query_id", point_id, lon, lat, "dist_m", "rank"))
-            got = ranked.groupBy("query_id").count().toPandas()
-            complete = set(got.loc[got["count"] >= k, "query_id"])
-            # a neighbor could sit just outside the ring while k were found
-            # inside it; require the k-th distance to be covered by the ring.
+            # one aggregation answers both completion questions per query:
+            # candidate count, and whether the k-th distance is ring-covered.
             # The k-ring guarantees ~inradius coverage (0.866*size*ring deg);
             # ground meters shrink east-west by cos(lat): 0.866*cos(71N)~0.28,
             # so 0.25 is the conservative global factor for this data domain.
             ring_radius_deg = float(C._hex_size(res)) * cur_ring
             safe_m = ring_radius_deg * 111_000 * 0.25
-            kth = (ranked.filter(F.col("rank") == k)
-                   .select("query_id", "dist_m").toPandas())
-            unsafe = set(kth.loc[kth["dist_m"] > safe_m, "query_id"])
+            stats = (ranked.groupBy("query_id")
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.max(F.when(F.col("rank") == k, F.col("dist_m"))).alias("kth"))
+                     .toPandas())
+            complete = set(stats.loc[stats["n"] >= k, "query_id"])
+            unsafe = set(stats.loc[stats["kth"] > safe_m, "query_id"])
             last_round = cur_ring >= max_ring
             done_ids = set(remaining["query_id"]) if last_round else (complete - unsafe)
             if done_ids:

@@ -124,3 +124,31 @@ def test_bbox_envelope_semantics_straddling_polygon(spark):
     page, matched = API.items(df, bbox=(24.0, 59.8, 25.0, 60.5), limit=10)
     ids = {r["Paikallinen_tunniste"] for r in page.collect()}
     assert matched == 1 and ids == {"straddle"}
+
+
+def test_intersects_polygon_query(spark, occ):
+    """OGC intersects: triangle over southern Finland; result equals the
+    exact-PIP oracle computed in pandas."""
+    import numpy as np
+    from laji_pygeoapi_spark.kernels import wkb as W, geom as G
+    tri = W.polygon([(21.0, 59.6), (29.0, 59.6), (25.0, 63.5)])
+    page, matched = API.items(occ, intersects=W.dumps(tri), limit=10000)
+    pdf = occ.select("Paikallinen_tunniste", "lon", "lat").toPandas().dropna()
+    inside = G.points_in_polygon(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), tri)
+    expected = set(pdf.loc[inside, "Paikallinen_tunniste"])
+    got = {r["Paikallinen_tunniste"] for r in page.collect()}
+    assert got == expected
+    assert matched == len(expected)
+    assert "_intersects" not in page.columns
+
+
+def test_crs84_geojson_roundtrip(spark, occ):
+    """North star: CRS84 geometry round-trip — GeoJSON coordinates decode
+    back to the exact stored lon/lat."""
+    page, _ = API.items(occ, limit=5)
+    src = {r["Paikallinen_tunniste"]: (r["lon"], r["lat"]) for r in page.collect()}
+    for row in API.to_geojson(page).collect():
+        f = json.loads(row["feature_json"])
+        lon, lat = f["geometry"]["coordinates"]
+        slon, slat = src[f["id"]]
+        assert lon == slon and lat == slat  # exact, not approx: CRS84 passthrough
