@@ -189,25 +189,82 @@ def get_feature(df: DataFrame, identifier: str) -> DataFrame:
 
 
 def to_geojson(df: DataFrame, id_col: str = "Paikallinen_tunniste",
-               crs: str = "CRS84") -> DataFrame:
-    """S10 — GeoJSON feature strings built JVM-side (to_json over struct).
+               crs: str = "CRS84", representation: str = "center") -> DataFrame:
+    """S10 — GeoJSON feature strings.
 
-    Point features use [lon, lat] (or TM35FIN E/N when crs='EPSG:3067' via
-    the stored projected columns); non-points ship centroid + WKB reference
-    — the reference serves CENTER_POINT representation the same way
-    (``lajiapi_provider.py:73,151``)."""
-    if crs == "EPSG:3067":
-        from ..functions.geometry import to_tm35fin
-        df = df.withColumn("_p", to_tm35fin(F.col("lon"), F.col("lat")))
-        coords = F.array(F.col("_p.e"), F.col("_p.n"))
+    representation='center' (the reference's CENTER_POINT default,
+    ``lajiapi_provider.py:73,151``): Point geometry from the stored
+    centroid, built entirely JVM-side (to_json over struct); CRS84 lon/lat
+    or TM35FIN E/N for crs='EPSG:3067'.
+
+    representation='original' (the reference's ORIGINAL_FEATURE): the full
+    stored geometry decoded from WKB to GeoJSON coordinates in an Arrow
+    pandas UDF (lines/polygons/multis round-trip intact).
+    """
+    if representation == "original" and "geometry" in df.columns:
+        geometry_json = _geojson_geometry_udf(F.col("geometry"))
     else:
-        coords = F.array(F.col("lon"), F.col("lat"))
+        if crs == "EPSG:3067":
+            from ..functions.geometry import to_tm35fin
+            df = df.withColumn("_p", to_tm35fin(F.col("lon"), F.col("lat")))
+            coords = F.array(F.col("_p.e"), F.col("_p.n"))
+        else:
+            coords = F.array(F.col("lon"), F.col("lat"))
+        geometry_json = F.to_json(
+            F.struct(F.lit("Point").alias("type"), coords.alias("coordinates")))
     props = [c for c in df.columns
              if c not in ("geometry", "lon", "lat", "_p") and not c.startswith("_")]
-    feature = F.struct(
+    feature_wo_geom = F.to_json(F.struct(
         F.lit("Feature").alias("type"),
         F.col(id_col).alias("id"),
-        F.struct(F.lit("Point").alias("type"), coords.alias("coordinates")).alias("geometry"),
         F.struct(*[F.col(c).cast("string").alias(c) for c in props]).alias("properties"),
-    )
-    return df.select(F.col(id_col).alias("fid"), F.to_json(feature).alias("feature_json"))
+    ))
+    # splice the geometry member into the feature object (string surgery is
+    # exact here: feature_wo_geom always starts with '{')
+    feature = F.concat(F.lit('{"geometry":'), geometry_json, F.lit(","),
+                       F.expr("substring(" + "_fjson" + ", 2)"))
+    df = df.withColumn("_fjson", feature_wo_geom)
+    return (df.select(F.col(id_col).alias("fid"), feature.alias("feature_json"))
+              .drop("_fjson"))
+
+
+from pyspark.sql import types as _T
+
+
+@F.pandas_udf(_T.StringType())
+def _geojson_geometry_udf(wkb_col: pd.Series) -> pd.Series:
+    """WKB -> GeoJSON geometry object string (RFC 7946 structures)."""
+    import json
+
+    from ..kernels import wkb as W
+
+    def ring_coords(ring):
+        return [[float(x), float(y)] for x, y in ring]
+
+    def geom_obj(g):
+        kind, payload = g
+        if kind == "Point":
+            return {"type": "Point", "coordinates": [float(payload[0]), float(payload[1])]}
+        if kind == "LineString":
+            return {"type": "LineString", "coordinates": ring_coords(payload)}
+        if kind == "Polygon":
+            return {"type": "Polygon", "coordinates": [ring_coords(r) for r in payload]}
+        if kind == "MultiPoint":
+            return {"type": "MultiPoint",
+                    "coordinates": [[float(p[0]), float(p[1])] for p in payload]}
+        if kind == "MultiLineString":
+            return {"type": "MultiLineString",
+                    "coordinates": [ring_coords(l) for l in payload]}
+        if kind == "MultiPolygon":
+            return {"type": "MultiPolygon",
+                    "coordinates": [[ring_coords(r) for r in rings] for rings in payload]}
+        return {"type": "GeometryCollection",
+                "geometries": [geom_obj(m) for m in payload]}
+
+    out = []
+    for blob in wkb_col:
+        if blob is None:
+            out.append("null")
+        else:
+            out.append(json.dumps(geom_obj(W.loads(bytes(blob)))))
+    return pd.Series(out)

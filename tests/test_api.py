@@ -152,3 +152,24 @@ def test_crs84_geojson_roundtrip(spark, occ):
         lon, lat = f["geometry"]["coordinates"]
         slon, slat = src[f["id"]]
         assert lon == slon and lat == slat  # exact, not approx: CRS84 passthrough
+
+
+def test_geojson_original_feature_roundtrip(spark):
+    """ORIGINAL_FEATURE representation: a polygon's full ring survives the
+    GeoJSON encoding (G8 parity with the reference's featureType option)."""
+    import pandas as pd
+    from laji_pygeoapi_spark.kernels import wkb as W
+    from laji_pygeoapi_spark.functions.transform import apply_geometry
+    shell = [(24.8, 60.0), (25.4, 60.0), (25.4, 60.3), (24.8, 60.3)]
+    pdf = pd.DataFrame({"Paikallinen_tunniste": ["poly1", "pt1"],
+                        "geometry": [W.dumps(W.polygon(shell)), W.dumps(W.point(25.0, 60.1))]})
+    df = apply_geometry(spark.createDataFrame(pdf))
+    out = {r["fid"]: json.loads(r["feature_json"])
+           for r in API.to_geojson(df, representation="original").collect()}
+    g = out["poly1"]["geometry"]
+    assert g["type"] == "Polygon"
+    assert g["coordinates"][0][0] == [24.8, 60.0]
+    assert len(g["coordinates"][0]) == 5  # closed ring
+    assert out["pt1"]["geometry"] == {"type": "Point", "coordinates": [25.0, 60.1]}
+    assert out["poly1"]["type"] == "Feature"
+    assert "properties" in out["poly1"]
