@@ -140,6 +140,30 @@ def q_knn(spark, sf_dir):
     return out.select("query_id", F.col("pid").alias("doc_id"), "rank")
 
 
+def q_knn_distributed(spark, sf_dir):
+    """J5 scale path — exact kNN via per-partition local top-k (mapInPandas),
+    no driver loop; same oracle as q_knn."""
+    import pandas as pd
+    pts = _points(spark, sf_dir).withColumnRenamed("doc_id", "pid")
+    queries = pd.DataFrame(KNN_QUERIES, columns=["query_id", "lon", "lat"])
+    out = SP.knn_bruteforce_distributed(spark, pts, queries, k=5, point_id="pid")
+    return out.select("query_id", F.col("pid").alias("doc_id"), "rank")
+
+
+TRIANGLE = ((21.0, 59.6), (29.0, 59.6), (25.0, 63.5))
+
+
+def q_intersects(spark, sf_dir):
+    """OGC intersects filter: exact PIP against a triangle (envelope
+    prefilter + vectorized ray casting)."""
+    from laji_pygeoapi_spark.api import features as API
+    from laji_pygeoapi_spark.kernels import wkb as W
+    pts = _points(spark, sf_dir)
+    page, _ = API.items(pts, intersects=W.dumps(W.polygon(list(TRIANGLE))),
+                        limit=10000, skip_guard=True)
+    return page.select("doc_id")
+
+
 def q_hex_cells(spark, sf_dir):
     """G7-analog — hex cell encoding (res 6) histogram."""
     pts = _points(spark, sf_dir)
@@ -409,6 +433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_municipality": q_pip_municipality,
         "pip_province": q_pip_province,
         "knn": q_knn,
+        "knn_distributed": q_knn_distributed,
+        "intersects": q_intersects,
         "hex_cells": q_hex_cells,
         "s2_cells": q_s2_cells,
         "tiles": q_tiles,
@@ -552,6 +578,24 @@ def oracle_sql() -> dict[str, str]:
               FROM pts
             )
             SELECT tile_x, tile_y, count(*) AS cnt FROM t GROUP BY 1, 2
+        """,
+        "knn_distributed": f"""
+            WITH {_PTS_CTE},
+            q(query_id, lon, lat) AS (VALUES {knn_vals}),
+            d AS (
+              SELECT q.query_id, p.doc_id,
+                     row_number() OVER (PARTITION BY q.query_id
+                                        ORDER BY {hav} ASC, p.doc_id ASC) AS rank
+              FROM q CROSS JOIN pts p
+            )
+            SELECT query_id, doc_id, rank FROM d WHERE rank <= 5
+        """,
+        "intersects": f"""
+            WITH {_PTS_CTE}
+            SELECT doc_id FROM pts
+            WHERE (29.0 - 21.0) * (lat - 59.6) - (59.6 - 59.6) * (lon - 21.0) > 0
+              AND (25.0 - 29.0) * (lat - 59.6) - (63.5 - 59.6) * (lon - 29.0) > 0
+              AND (21.0 - 25.0) * (lat - 63.5) - (59.6 - 63.5) * (lon - 25.0) > 0
         """,
         "dedup_latest": """
             SELECT event_id FROM (

@@ -266,6 +266,58 @@ def knn_join(spark: SparkSession, points: DataFrame, queries: pd.DataFrame,
         pts.unpersist()
 
 
+def knn_bruteforce_distributed(spark: SparkSession, points: DataFrame,
+                               queries: pd.DataFrame, k: int = 5,
+                               lon: str = "lon", lat: str = "lat",
+                               point_id: str = "image_id") -> DataFrame:
+    """Exact kNN without the driver loop: broadcast the query set, compute
+    per-partition local top-k in one mapInPandas pass (numpy argpartition),
+    then a global ``row_number`` over the n_queries x k x n_partitions
+    survivors.  One shuffle of a tiny candidate set — the scale path when
+    the query set is large enough that per-iteration driver collects (the
+    k-ring variant) would dominate.  Exactness: every partition keeps its
+    own k best per query, and the global best k must be among them."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    q_ids = queries["query_id"].to_numpy()
+    q_lon = queries["lon"].to_numpy(np.float64)
+    q_lat = queries["lat"].to_numpy(np.float64)
+
+    out_t = T.StructType([
+        T.StructField("query_id", T.StringType()),
+        T.StructField(point_id, points.schema[point_id].dataType),
+        T.StructField("dist_m", T.DoubleType()),
+    ])
+
+    def local_topk(batches):
+        # accumulate the partition's best k per query across batches
+        best: dict[int, list[tuple[float, object]]] = {i: [] for i in range(len(q_ids))}
+        import heapq
+        for pdf in batches:
+            px = pdf[lon].to_numpy(np.float64)
+            py = pdf[lat].to_numpy(np.float64)
+            ids = pdf[point_id].to_numpy()
+            for qi in range(len(q_ids)):
+                d = C.haversine_m(q_lon[qi], q_lat[qi], px, py)
+                take = min(k, len(d))
+                idx = np.argpartition(d, take - 1)[:take] if len(d) > take else np.arange(len(d))
+                for j in idx:
+                    item = (-float(d[j]), ids[j])
+                    if len(best[qi]) < k:
+                        heapq.heappush(best[qi], item)
+                    elif item > best[qi][0]:
+                        heapq.heapreplace(best[qi], item)
+        rows = [(str(q_ids[qi]), pid, -negd)
+                for qi, heap in best.items() for negd, pid in heap]
+        yield pd.DataFrame(rows, columns=["query_id", point_id, "dist_m"])
+
+    cand = points.select(point_id, lon, lat).mapInPandas(local_topk, schema=out_t)
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col(point_id).asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+
+
 def haversine_expr(lon1: str, lat1: str, lon2: str, lat2: str):
     """Exact haversine as a JVM column expression (no UDF in the re-rank)."""
     rl1, rl2 = F.radians(F.col(lat1)), F.radians(F.col(lat2))

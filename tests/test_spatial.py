@@ -105,3 +105,17 @@ def test_salt_dense_cells_bounds_partitions(spark):
     g = out.groupBy("cell_prefix", "_salt").count().agg(F.max("count")).first()[0]
     # deterministic hash salting: no (cell, salt) bucket much above the cap
     assert g <= 300
+
+
+def test_knn_distributed_matches_bruteforce(spark):
+    imgs = fixtures.images_df(spark, 300, with_bytes=False).cache()
+    pts = imgs.select("image_id", "lon", "lat").toPandas()
+    queries = pd.DataFrame({"query_id": [f"q{i}" for i in range(4)],
+                            "lon": np.linspace(21, 29, 4),
+                            "lat": np.linspace(60, 68, 4)})
+    got = SP.knn_bruteforce_distributed(spark, imgs, queries, k=5).toPandas()
+    for _, q in queries.iterrows():
+        d = C.haversine_m(q["lon"], q["lat"], pts["lon"].values, pts["lat"].values)
+        brute = set(pts["image_id"].values[np.argsort(d, kind="stable")[:5]])
+        mine = set(got.loc[got["query_id"] == q["query_id"], "image_id"])
+        assert mine == brute, q["query_id"]
