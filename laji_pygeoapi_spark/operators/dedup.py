@@ -101,15 +101,38 @@ def _hash64(data: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
 
 
+def _bucket_pairs(banded: DataFrame) -> DataFrame:
+    """(id, band, bucket) -> distinct candidate pairs (id_a < id_b).
+
+    groupBy-bucket + in-array pair expansion instead of a self-join: a
+    self-join would re-evaluate the (expensive) signature UDF on BOTH join
+    sides, and buckets are short, so expanding pairs from the collected id
+    list is one shuffle and one UDF pass.  Oversized buckets (degenerate
+    content) are capped — a 10^6-member bucket means the key carries no
+    discriminating information, not that there are 10^12 real near-dups.
+    """
+    max_bucket = 1000
+    grouped = (banded.groupBy("band", "bucket")
+               .agg(F.slice(F.sort_array(F.collect_list("id")), 1, max_bucket).alias("ids"))
+               .filter(F.size("ids") > 1))
+    idx = F.sequence(F.lit(1), F.size("ids") - 1)
+    pair_arrays = F.flatten(F.transform(
+        idx, lambda i: F.transform(
+            F.slice(F.col("ids"), i + 1, F.size("ids")),
+            lambda y: F.struct(F.element_at(F.col("ids"), i).alias("a"), y.alias("b")))))
+    return (grouped.select(F.explode(pair_arrays).alias("p"))
+            .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+            .distinct())
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_perm: int = 64,
                            bands: int = 16, shingle_n: int = 3) -> DataFrame:
     """Banded LSH: signature split into ``bands`` rows of ``num_perm//bands``;
     docs sharing any band bucket become candidate pairs (id_a < id_b).
 
-    Plan shape: project(sig) -> explode(bands) -> hash-shuffle on bucket ->
-    self-join inside buckets.  Bucket join is the only shuffle; band buckets
-    are short (dups are rare) so the pair blow-up stays bounded.
+    Plan shape: project(sig, ONCE) -> explode(bands) -> hash-shuffle on
+    bucket -> in-bucket pair expansion (see _bucket_pairs).
     """
     r = num_perm // bands
     sig = minhash_signature_udf(num_perm, shingle_n)
@@ -124,13 +147,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         "id", "band",
         F.xxhash64(F.col("band"), F.slice("sig", F.col("band") * r + 1, r).cast("string")).alias("bucket"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (left.join(right, ["band", "bucket"])
-                 .filter(F.col("l.id") < F.col("r.id"))
-                 .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-                 .distinct())
-    return pairs
+    return _bucket_pairs(banded)
 
 
 def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
@@ -194,10 +211,9 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     banded = s.select("id", F.explode(F.array(*[
         F.struct(F.lit(i).alias("band"),
                  F.shiftrightunsigned("h", i * w).bitwiseAND(F.lit((1 << w) - 1)).alias("chunk"))
-        for i in range(bands)])).alias("b")).select("id", "b.band", "b.chunk")
-    l, r = banded.alias("l"), banded.alias("r")
-    return (l.join(r, ["band", "chunk"]).filter(F.col("l.id") < F.col("r.id"))
-             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")).distinct())
+        for i in range(bands)])).alias("b")).select(
+            "id", F.col("b.band").alias("band"), F.col("b.chunk").alias("bucket"))
+    return _bucket_pairs(banded)
 
 
 # ------------------------------------------------------------ phash near-dup
