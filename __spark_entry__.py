@@ -317,8 +317,9 @@ def q_exact_dedup(spark, sf_dir):
 def q_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard similarity of consecutive doc pairs (exact verify op)."""
     docs = _tbl(spark, sf_dir, "documents")
-    sh = docs.select("doc_id",
-                     F.array_distinct(TX.shingles(F.col("text"), 3)).alias("sh"))
+    toks = docs.select("doc_id", TX.tokenize(F.col("text")).alias("_toks"))
+    sh = toks.select("doc_id",
+                     F.array_distinct(TX.shingles_from_tokens(F.col("_toks"), 3)).alias("sh"))
     a = sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b")
     pairs = (a.join(b, a.id_a + 1 == b.id_b)
@@ -330,15 +331,25 @@ def q_jaccard_pairs(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash LSH near-dup candidates (numpy signatures — no SQL oracle)."""
+    """MinHash LSH candidates + exact Jaccard verify >= 0.7 — the full
+    near-dup contract.  Oracle: exact set-similarity join in SQL (shared-
+    shingle blocking + hash-agg intersection counts).  LSH recall at the
+    planted pairs (j >= 0.8 on this corpus, 16 bands x 4 rows) is verified
+    equal to the exact answer at sf0.01 AND sf0.1 — a missed pair would fail
+    this gate, which is exactly the property the gate exists to check."""
     docs = _tbl(spark, sf_dir, "documents")
-    return DD.minhash_lsh_candidates(docs, num_perm=64, bands=16)
+    cand = DD.minhash_lsh_candidates(docs, num_perm=64, bands=16)
+    return DD.jaccard_verify(docs, cand, threshold=0.7)
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash 64-bit near-dup hash per doc — no SQL oracle."""
+    """SimHash 64-bit near-dup hash per doc.  The token hash is a pair of
+    32-bit rolling hashes with an exact DuckDB twin (list_reduce over
+    unicode codepoints), so the whole 64-bit simhash is oracle-checked."""
     docs = _tbl(spark, sf_dir, "documents")
-    return docs.select("doc_id", DD.simhash_udf()(F.col("text")).alias("simhash"))
+    from laji_pygeoapi_spark.operators import text as _TX
+    return docs.select(
+        "doc_id", DD.simhash_udf()(_TX.tokenize(F.col("text"))).alias("simhash"))
 
 
 def q_brute_topk(spark, sf_dir):
@@ -499,7 +510,54 @@ def oracle_sql() -> dict[str, str]:
                 f"list_distinct(list_transform(range(1, len({_TOKENS_SQL}) - 1), "
                 f"i -> array_to_string(({_TOKENS_SQL})[i:i+2], ' '))) "
                 f"ELSE [array_to_string({_TOKENS_SQL}, ' ')] END")
+    # simhash: exact SQL twin of dedup.simhash_udf — token hash is two
+    # 32-bit rolling hashes (h1 -> bits 32..63, h2 -> bits 0..31), bit votes
+    # over the token multiset, majority -> bit set.
+    _codes = "list_transform(range(1, length(w) + 1), i -> unicode(w[i]))"
+    _h1 = (f"list_reduce(list_prepend(CAST(17 AS BIGINT), {_codes}), "
+           f"(h, c) -> (h * 31 + c) % 4294967296)")
+    _h2 = (f"list_reduce(list_prepend(CAST(23 AS BIGINT), {_codes}), "
+           f"(h, c) -> (h * 131 + c) % 4294967296)")
+
+    def _vote(b: int) -> str:
+        src, shift = ("h2", b) if b < 32 else ("h1", b - 32)
+        return f"sum(CASE WHEN (({src} >> {shift}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+
+    _votes_sel = ", ".join(_vote(b) for b in range(64))
+    _simval = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(63))
+    _simval += " + (CASE WHEN v63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END)"
+    simhash_sql = f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents),
+        th AS (SELECT doc_id, {_h1} AS h1, {_h2} AS h2 FROM tok),
+        votes AS (SELECT doc_id, {_votes_sel} FROM th GROUP BY doc_id)
+        SELECT doc_id, {_simval} AS simhash FROM votes
+        UNION ALL
+        SELECT doc_id, CAST(0 AS BIGINT) AS simhash FROM documents
+        WHERE len({_TOKENS_SQL}) = 0
+    """
+    # minhash_pairs: the exact set-similarity join (shared-shingle blocking
+    # is lossless for jaccard > 0; intersection sizes via one hash agg).
+    minhash_pairs_sql = """
+        WITH tok AS (SELECT doc_id, {tok} AS t FROM documents),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                        range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))
+                      ELSE [array_to_string(t, ' ')] END AS s
+               FROM tok WHERE len(t) > 0),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        ns AS (SELECT doc_id, len(s) AS n FROM sh)
+        SELECT id_a, id_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+        FROM inter JOIN ns x ON x.doc_id = id_a JOIN ns y ON y.doc_id = id_b
+        WHERE i * 1.0 / (x.n + y.n - i) >= 0.7
+    """.format(tok=_TOKENS_SQL)
     return {
+        "simhash": simhash_sql,
+        "minhash_pairs": minhash_pairs_sql,
         "bbox_filter": f"""
             WITH {_PTS_CTE}
             SELECT doc_id FROM pts

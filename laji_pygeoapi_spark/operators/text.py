@@ -87,13 +87,26 @@ def fingerprint64(col: Column) -> Column:
     return F.xxhash64(normalized)
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (for MinHash / Jaccard)."""
-    toks = tokenize(col)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array from a MATERIALIZED token-array column.
+
+    ``toks`` must be a bound column reference (stage ``tokenize()`` into its
+    own projection first): lambda expressions are not CSE'd, so an inline
+    ``tokenize`` here would re-run the regex split once per shingle index —
+    a ~100x blowup on real documents."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.when(F.size(toks) >= n,
                   F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
                   ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (for MinHash / Jaccard).
+
+    Convenience form over raw text — fine for tiny frames/tests, but hot
+    paths must stage tokens into their own projection and call
+    :func:`shingles_from_tokens` (lambda re-evaluation trap)."""
+    return shingles_from_tokens(tokenize(col), n)
 
 
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:

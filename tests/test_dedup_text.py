@@ -50,7 +50,7 @@ def test_minhash_finds_planted_neardup(spark, docs):
 
 def test_simhash_near_ids_for_neardups(spark, docs):
     sh = {r["doc_id"]: r["h"] for r in
-          docs.select("doc_id", DD.simhash_udf()(F.col("text")).alias("h")).collect()}
+          docs.select("doc_id", DD.simhash_udf()(TX.tokenize(F.col("text"))).alias("h")).collect()}
     def hamming(a, b):
         return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
     assert hamming(sh[100], sh[101]) == 0
