@@ -15,11 +15,15 @@ cell cover prunes partitions (the engine's GIST-index replacement).
 
 from __future__ import annotations
 
+import calendar
+import datetime as _dt
 import re
+from difflib import get_close_matches
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .. import registry
 from ..functions import expressions as E
@@ -57,9 +61,15 @@ def convert_property_filters(properties: list[tuple[str, str]]) -> list[tuple[st
     out = []
     for name, value in properties:
         if name not in name_map:
-            close = [v for v in name_map if v.lower().startswith(name.lower()[:4])]
-            raise QueryError(f"Unknown filter '{name}'."
-                             + (f" Did you mean '{close[0]}'?" if close else ""))
+            # reference semantics (convert_api_filters.py:50-56): a close
+            # match (difflib >= 0.8) raises with the suggestion; an unknown
+            # name with NO close match passes through unchanged (the
+            # reference logs a warning and assumes the backend knows it)
+            close = get_close_matches(name, list(name_map), n=1, cutoff=0.8)
+            if close:
+                raise QueryError(f"Unknown filter '{name}'. Did you mean '{close[0]}'?")
+            out.append((name, value))
+            continue
         qname = name_map[name]
         value = re.sub(r"http://[^/]+\.fi/", "", value) if isinstance(value, str) else value
         if qname in ("lifeStage", "sex", "recordQuality", "collectionQuality",
@@ -89,19 +99,88 @@ def _property_predicate(name: str, value: str):
     return col == value
 
 
+def _time_bounds(v: str) -> tuple[str, str]:
+    """Granularity bounds of a single time value: 'YYYY' spans the year,
+    'YYYY-MM' the month, a full date/timestamp spans itself."""
+    if re.fullmatch(r"\d{4}", v):
+        return f"{v}-01-01", f"{v}-12-31"
+    if re.fullmatch(r"\d{4}-\d{2}", v):
+        last = calendar.monthrange(int(v[:4]), int(v[5:7]))[1]
+        return f"{v}-01", f"{v}-{last:02d}"
+    return v, v
+
+
+def datetime_predicate(datetime_range: str, time_col: str = "Keruu_aloitus_pvm",
+                       sub_day: bool = False, today: _dt.date | None = None):
+    """F10 (full parity) — the reference's time filter grammar
+    (``convert_api_filters.py:125-146``) compiled to one Column predicate:
+
+    * '[h:mm]' brackets and whitespace stripped;
+    * comma list = OR search;
+    * 'start/end' ranges with open ends ('..' or empty);
+    * bare integers in a range = relative days from ``today`` ('-7/0');
+    * 'YYYY' / 'YYYY-MM' granularity expands to the year/month span;
+    * sub-day precision is kept when ``sub_day`` (timestamp column) —
+      otherwise values truncate to the date, matching the date-typed store.
+    """
+    today = today or _dt.date.today()
+    value = re.sub(r"\[\s*\d{1,2}:\d{2}\s*\]", "", datetime_range)
+    value = re.sub(r"\s+", "", value)
+
+    def clip(s: str) -> str:
+        return s if sub_day else s[:10]
+
+    pred = None
+    for v in value.split(","):
+        if "/" in v:
+            start, end = v.split("/", 1)
+            # relative-days vs bare-year disambiguation: 'YYYY/YYYY' is a
+            # year range; day offsets are negative or < 1000 ('-7/0')
+            def _rel(s: str) -> bool:
+                return s.lstrip("-").isdigit() and (s.startswith("-") or int(s) < 1000)
+            if start.lstrip("-").isdigit() and end.lstrip("-").isdigit() \
+                    and (_rel(start) or _rel(end)):
+                start = (today + _dt.timedelta(days=int(start))).isoformat()
+                end = (today + _dt.timedelta(days=int(end))).isoformat()
+            p = F.lit(True)
+            if start and start != "..":
+                p = p & (F.col(time_col) >= F.lit(clip(_time_bounds(start)[0])))
+            if end and end != "..":
+                p = p & (F.col(time_col) <= F.lit(clip(_time_bounds(end)[1])))
+        elif v:
+            lo, hi = _time_bounds(v)
+            if lo == hi:
+                p = F.col(time_col) == F.lit(clip(lo))
+            else:
+                p = (F.col(time_col) >= F.lit(clip(lo))) & (F.col(time_col) <= F.lit(clip(hi)))
+        else:
+            continue
+        pred = p if pred is None else (pred | p)
+    return pred if pred is not None else F.lit(True)
+
+
 def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
           datetime_range: str | None = None,
           properties: list[tuple[str, str]] | None = None,
           sortby: list[tuple[str, str]] | None = None,
           limit: int = DEFAULT_LIMIT, offset: int = 0,
-          resulttype: str = "results", skip_guard: bool = False):
+          resulttype: str = "results", skip_guard: bool = False,
+          count_matched: bool = False, today: _dt.date | None = None):
     """The /collections/{id}/items query -> (page DataFrame, number_matched).
 
-    datetime_range: RFC 'start/end' (open ends with '..') on Keruu_aloitus_pvm
-    (time_field, template_resource.txt:29).
+    datetime_range: the reference's full time grammar (see
+    :func:`datetime_predicate`) on Keruu_aloitus_pvm (time_field,
+    template_resource.txt:29).
     intersects: WKB polygon — OGC intersects filter (north star: "bbox/
     intersects feature queries"); envelope prefilter pushed to the scan, then
     an exact vectorized point-in-polygon UDF on the candidates.
+
+    number_matched is computed ONLY when needed — ``resulttype='hits'``,
+    ``count_matched=True``, or the P11 guard applies (``offset >= limit``).
+    A default page request is a single pruned scan; at serving scale an
+    unconditional count doubled every query (round-1 verdict fix #4).
+    Partition-aligned counts can instead be answered from manifests
+    (``sources.table.count_from_manifest``) without any scan.
     """
     limit, offset = validate_paging(limit, offset)
     pred = F.lit(True)
@@ -114,21 +193,21 @@ def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
         df = _apply_intersects(df, intersects)
         pred = pred & F.col("_intersects")
     if datetime_range:
-        if "/" in datetime_range:
-            start, end = datetime_range.split("/")
-            if start and start != "..":
-                pred = pred & (F.col("Keruu_aloitus_pvm") >= F.lit(start[:10]))
-            if end and end != "..":
-                pred = pred & (F.col("Keruu_aloitus_pvm") <= F.lit(end[:10]))
-        else:
-            pred = pred & (F.col("Keruu_aloitus_pvm") == F.lit(datetime_range[:10]))
+        sub_day = isinstance(df.schema["Keruu_aloitus_pvm"].dataType, T.TimestampType) \
+            if "Keruu_aloitus_pvm" in df.columns else False
+        pred = pred & datetime_predicate(datetime_range, sub_day=sub_day, today=today)
     for name, value in (properties or []):
         pred = pred & _property_predicate(name, value)
     filtered = df.filter(pred)
-    number_matched = filtered.count()
+    # P11 guard (reference lajiapi_provider.py: page = offset//limit + 1 > 1,
+    # i.e. offset >= limit — NOT offset > 0, round-1 ADVICE)
+    guard_applies = offset >= limit and not skip_guard
+    number_matched = None
+    if resulttype == "hits" or count_matched or guard_applies:
+        number_matched = filtered.count()
     if resulttype == "hits":
         return None, number_matched
-    if number_matched > MAX_ITEMS and offset > 0 and not skip_guard:
+    if guard_applies and number_matched > MAX_ITEMS:
         raise QueryError(f"result set {number_matched} exceeds {MAX_ITEMS}; "
                          "narrow the query")  # P11 guard
     order = [F.col(c).desc() if d == "-" else F.col(c).asc()

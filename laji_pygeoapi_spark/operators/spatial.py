@@ -100,7 +100,8 @@ def with_cells(df: DataFrame, lon: str = "lon", lat: str = "lat",
 def bbox_predicate(minx: float, miny: float, maxx: float, maxy: float,
                    lon: str = "lon", lat: str = "lat",
                    cell_col: str | None = "cell_prefix",
-                   envelope_cols: tuple[str, str, str, str] | None = None):
+                   envelope_cols: tuple[str, str, str, str] | None = None,
+                   max_extent_deg: float | None = None):
     """P6 — bbox -> Column predicate.  The range conjunctions go to parquet
     row-group pruning; the optional cell-IN list prunes hive/Iceberg
     partitions before any IO (the planner-generated predicate of SURVEY §4).
@@ -109,19 +110,26 @@ def bbox_predicate(minx: float, miny: float, maxx: float, maxy: float,
     predicate is envelope INTERSECTION — PostGIS ``geometry && box``
     semantics, so lines/polygons straddling the box edge match even when
     their centroid is outside.  Without them it is point membership.
+
+    ``cell_prefix`` is centroid-derived, so in envelope mode the partition
+    cover must be padded by the dataset's max geometry extent or a large
+    geometry whose centroid cell lies outside the padded box is silently
+    dropped (round-1 ADVICE).  Callers that know the bound pass
+    ``max_extent_deg`` (e.g. from manifest env stats) and keep partition
+    pruning; otherwise the cell predicate is SKIPPED in envelope mode —
+    correctness first, and env-column row-group pruning still applies.
     """
-    cover_pad = 0.0
     if envelope_cols:
         x0, y0, x1, y1 = envelope_cols
         pred = ((F.col(x1) >= minx) & (F.col(x0) <= maxx)
                 & (F.col(y1) >= miny) & (F.col(y0) <= maxy))
-        # cell_prefix is centroid-derived: pad the partition cover so a
-        # geometry whose centroid cell lies outside the box still scans
-        # (1 deg >> any single occurrence geometry in this domain)
-        cover_pad = 1.0
+        if max_extent_deg is None:
+            cell_col = None
+        cover_pad = max_extent_deg or 0.0
     else:
         pred = ((F.col(lon) >= minx) & (F.col(lon) <= maxx)
                 & (F.col(lat) >= miny) & (F.col(lat) <= maxy))
+        cover_pad = 0.0
     if cell_col:
         cover = C.hex_cells_in_bbox(minx - cover_pad, miny - cover_pad,
                                     maxx + cover_pad, maxy + cover_pad,

@@ -32,6 +32,17 @@ from pyspark.sql import functions as F
 PARTITION_COLS = ("geom_kind", "cell_prefix")
 
 
+def _write_json_atomic(path: str, doc: dict) -> None:
+    """tmp-file + os.replace so a crash mid-write can never leave truncated
+    JSON behind (checkpoint/manifest files are exactly the state a resume
+    must be able to trust — round-1 ADVICE)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1)
+    os.replace(tmp, path)
+
+
 def write_partitioned(df: DataFrame, root: str, job_id: str,
                       mode: str = "append",
                       partition_cols=PARTITION_COLS) -> dict:
@@ -39,21 +50,32 @@ def write_partitioned(df: DataFrame, root: str, job_id: str,
     lineage manifest.  An explicit repartition on the partition key bounds
     file counts (one shuffle, then parallel writes per partition)."""
     part_cols = [c for c in partition_cols if c in df.columns]
+    # persist the batch FIRST so both consumers below (the partitioned write
+    # and the manifest aggregation) resolve to the same cached subtree and
+    # the upstream plan is evaluated ONCE (round-1 ADVICE: it ran twice);
+    # the manifest stays a DELTA record of this job's rows, which an
+    # append-mode read-back could not provide
+    df = df.persist()
     # honor salt_dense_cells: a _salt column splits hot cells across writer
     # tasks (shuffle key only — it is dropped from the stored table)
     shuffle_cols = part_cols + (["_salt"] if "_salt" in df.columns else [])
     out = df.repartition(*[F.col(c) for c in shuffle_cols]) if shuffle_cols else df
     if "_salt" in df.columns:
         out = out.drop("_salt")
-        df = df.drop("_salt")
+        manifest_src = df.drop("_salt")
+    else:
+        manifest_src = df
     # sort within partitions on the fine cell key: clusters rows so parquet
     # row-group min/max stats on lon/lat/cell become tight -> rowgroup
     # pruning on bbox scans (the engine's GIST-index replacement)
-    sort_key = next((c for c in ("cell_r7", "cell_r5", "lon") if c in df.columns), None)
+    sort_key = next((c for c in ("cell_r7", "cell_r5", "lon") if c in manifest_src.columns), None)
     if sort_key:
         out = out.sortWithinPartitions(sort_key)
-    (out.write.mode(mode).partitionBy(*part_cols).parquet(os.path.join(root, "data")))
-    manifest = build_manifest(df, part_cols)
+    try:
+        (out.write.mode(mode).partitionBy(*part_cols).parquet(os.path.join(root, "data")))
+        manifest = build_manifest(manifest_src, part_cols)
+    finally:
+        df.unpersist()
     manifest_doc = {
         "job_id": job_id,
         "written_at": time.time(),
@@ -61,10 +83,8 @@ def write_partitioned(df: DataFrame, root: str, job_id: str,
         "partitions": manifest,
         "total_rows": sum(p["row_count"] for p in manifest),
     }
-    mdir = os.path.join(root, "_manifests")
-    os.makedirs(mdir, exist_ok=True)
-    with open(os.path.join(mdir, f"manifest-{job_id}.json"), "w") as f:
-        json.dump(manifest_doc, f, indent=1)
+    _write_json_atomic(os.path.join(root, "_manifests", f"manifest-{job_id}.json"),
+                       manifest_doc)
     return manifest_doc
 
 
@@ -130,9 +150,7 @@ def mark_step(root: str, job_id: str, step: str, info: dict | None = None) -> No
     ck = load_checkpoint(root, job_id)
     if step not in [s["step"] for s in ck["completed_steps"]]:
         ck["completed_steps"].append({"step": step, "at": time.time(), **(info or {})})
-    os.makedirs(os.path.dirname(_ckpt_path(root, job_id)), exist_ok=True)
-    with open(_ckpt_path(root, job_id), "w") as f:
-        json.dump(ck, f, indent=1)
+    _write_json_atomic(_ckpt_path(root, job_id), ck)
 
 
 def step_done(root: str, job_id: str, step: str) -> bool:
@@ -161,6 +179,38 @@ def load_watermark(root: str, name: str = "last_update") -> str | None:
 
 def save_watermark(root: str, value: str, name: str = "last_update") -> None:
     path = os.path.join(root, "_checkpoints", f"wm-{name}.json")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w") as f:
-        json.dump({"name": name, "value": value}, f)
+    _write_json_atomic(path, {"name": name, "value": value})
+
+
+# ------------------------------------------------------------ manifest counts
+
+def count_from_manifest(root: str, **partition_filters) -> int | None:
+    """Answer a partition-aligned COUNT from manifest row counts — no scan.
+
+    ``partition_filters``: column -> value or set of values over the
+    partition columns (e.g. ``geom_kind='point'``, ``cell_prefix={..}``).
+    Returns None when any filter names a non-partition column (the caller
+    must fall back to a real count).  Sums DELTA manifests across jobs, so
+    it is exact for append-only stores (the only write mode used here).
+    """
+    mdir = os.path.join(root, "_manifests")
+    if not os.path.isdir(mdir):
+        return None
+    total = 0
+    seen_any = False
+    for fname in sorted(os.listdir(mdir)):
+        if not fname.endswith(".json"):
+            continue
+        with open(os.path.join(mdir, fname)) as f:
+            doc = json.load(f)
+        part_cols = set(doc["partition_cols"])
+        if any(k not in part_cols for k in partition_filters):
+            return None
+        seen_any = True
+        for p in doc["partitions"]:
+            ok = all(p.get(k) in v if isinstance(v, (set, frozenset, list, tuple))
+                     else p.get(k) == v
+                     for k, v in partition_filters.items())
+            if ok:
+                total += p["row_count"]
+    return total if seen_any else None

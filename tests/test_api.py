@@ -29,7 +29,7 @@ def test_paging_validation():
 
 
 def test_items_bbox_and_count(spark, occ):
-    page, matched = API.items(occ, bbox=(19.0, 59.0, 32.0, 71.0), limit=10)
+    page, matched = API.items(occ, bbox=(19.0, 59.0, 32.0, 71.0), limit=10, count_matched=True)
     assert matched > 0
     assert page.count() == min(10, matched)
     _, hits = API.items(occ, bbox=(19.0, 59.0, 32.0, 71.0), resulttype="hits")
@@ -37,7 +37,7 @@ def test_items_bbox_and_count(spark, occ):
 
 
 def test_items_datetime_filter(spark, occ):
-    page, matched = API.items(occ, datetime_range="2010-01-01/..", limit=1000)
+    page, matched = API.items(occ, datetime_range="2010-01-01/..", limit=1000, count_matched=True)
     pdf = page.select("Keruu_aloitus_pvm").toPandas()
     assert (pdf["Keruu_aloitus_pvm"].astype(str) >= "2010-01-01").all()
     _, m2 = API.items(occ, datetime_range="../2009-12-31", resulttype="hits")
@@ -47,7 +47,7 @@ def test_items_datetime_filter(spark, occ):
 
 def test_items_property_filter_and_paging_stability(spark, occ):
     props = [("Sukupuoli", "koiras")]
-    page1, matched = API.items(occ, properties=props, limit=5, offset=0)
+    page1, matched = API.items(occ, properties=props, limit=5, offset=0, count_matched=True)
     page2, _ = API.items(occ, properties=props, limit=5, offset=5)
     ids1 = [r["Paikallinen_tunniste"] for r in page1.collect()]
     ids2 = [r["Paikallinen_tunniste"] for r in page2.collect()]
@@ -121,7 +121,7 @@ def test_bbox_envelope_semantics_straddling_polygon(spark):
     pdf = pd.DataFrame({"Paikallinen_tunniste": ["straddle", "outside"],
                         "geometry": [poly, pt_out]})
     df = apply_geometry(spark.createDataFrame(pdf))
-    page, matched = API.items(df, bbox=(24.0, 59.8, 25.0, 60.5), limit=10)
+    page, matched = API.items(df, bbox=(24.0, 59.8, 25.0, 60.5), limit=10, count_matched=True)
     ids = {r["Paikallinen_tunniste"] for r in page.collect()}
     assert matched == 1 and ids == {"straddle"}
 
@@ -132,7 +132,7 @@ def test_intersects_polygon_query(spark, occ):
     import numpy as np
     from laji_pygeoapi_spark.kernels import wkb as W, geom as G
     tri = W.polygon([(21.0, 59.6), (29.0, 59.6), (25.0, 63.5)])
-    page, matched = API.items(occ, intersects=W.dumps(tri), limit=10000)
+    page, matched = API.items(occ, intersects=W.dumps(tri), limit=10000, count_matched=True)
     pdf = occ.select("Paikallinen_tunniste", "lon", "lat").toPandas().dropna()
     inside = G.points_in_polygon(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), tri)
     expected = set(pdf.loc[inside, "Paikallinen_tunniste"])
@@ -173,3 +173,83 @@ def test_geojson_original_feature_roundtrip(spark):
     assert out["pt1"]["geometry"] == {"type": "Point", "coordinates": [25.0, 60.1]}
     assert out["poly1"]["type"] == "Feature"
     assert "properties" in out["poly1"]
+
+
+# ------------------------------------------------- round-2 parity additions
+
+def test_items_lazy_count_by_default(spark, occ):
+    """Verdict fix #4: a default page request must not run a count job."""
+    page, matched = API.items(occ, limit=5)
+    assert matched is None          # not computed
+    assert page.count() == 5
+
+
+def test_guard_offset_semantics(spark, occ):
+    """ADVICE: the P11 guard keys on page > 1, i.e. offset >= limit —
+    0 < offset < limit must not trigger a count (reference
+    lajiapi_provider.py computes page = offset // limit + 1)."""
+    page, matched = API.items(occ, limit=10, offset=5)
+    assert matched is None and page.count() > 0  # guard not applicable
+    # offset >= limit: guard path runs (and passes while under MAX_ITEMS)
+    page2, matched2 = API.items(occ, limit=10, offset=10)
+    assert matched2 is not None
+
+
+def test_datetime_comma_or_list(spark, occ):
+    """Reference convert_api_filters.py:132 — comma list is an OR search."""
+    y1, _ = API.items(occ, datetime_range="1995", resulttype="hits")
+    y2, _ = API.items(occ, datetime_range="2005", resulttype="hits")
+    _, m1 = API.items(occ, datetime_range="1995", resulttype="hits")
+    _, m2 = API.items(occ, datetime_range="2005", resulttype="hits")
+    _, both = API.items(occ, datetime_range="1995,2005", resulttype="hits")
+    assert both == m1 + m2 and both > 0
+
+
+def test_datetime_year_and_month_granularity(spark, occ):
+    _, year_m = API.items(occ, datetime_range="2000", resulttype="hits")
+    _, range_m = API.items(occ, datetime_range="2000-01-01/2000-12-31",
+                           resulttype="hits")
+    assert year_m == range_m and year_m > 0
+    _, month_m = API.items(occ, datetime_range="2000-03", resulttype="hits")
+    _, month_r = API.items(occ, datetime_range="2000-03-01/2000-03-31",
+                           resulttype="hits")
+    assert month_m == month_r
+
+
+def test_datetime_relative_days(spark, occ):
+    """Reference convert_api_filters.py:135-142: '-7/0' = relative days."""
+    import datetime as dt
+    today = dt.date(2010, 6, 15)
+    _, rel = API.items(occ, datetime_range="-30/0", today=today, resulttype="hits")
+    _, abs_ = API.items(occ, datetime_range="2010-05-16/2010-06-15",
+                        resulttype="hits")
+    assert rel == abs_
+
+
+def test_datetime_brackets_and_whitespace(spark, occ):
+    _, a = API.items(occ, datetime_range=" 2000 [9:41] / 2001 ", resulttype="hits")
+    _, b = API.items(occ, datetime_range="2000/2001", resulttype="hits")
+    assert a == b and a > 0
+
+
+def test_datetime_subday_on_timestamp_column(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "Paikallinen_tunniste": ["a", "b"],
+        "Keruu_aloitus_pvm": pd.to_datetime(["2020-01-01 08:00:00",
+                                             "2020-01-01 20:00:00"]),
+    })
+    df = spark.createDataFrame(pdf)
+    page, _ = API.items(df, datetime_range="2020-01-01T12:00:00/..", limit=10)
+    ids = [r["Paikallinen_tunniste"] for r in page.collect()]
+    assert ids == ["b"]  # sub-day bound kept on a timestamp column
+
+
+def test_unknown_filter_passthrough_vs_suggestion():
+    """Reference semantics: close-match raises with suggestion, totally
+    unknown name passes through unchanged (warn-and-assume)."""
+    with pytest.raises(API.QueryError) as e:
+        API.convert_property_filters([("Sukupuol", "koiras")])
+    assert "Sukupuoli" in str(e.value)
+    out = API.convert_property_filters([("someCustomApiFilter", "x")])
+    assert out == [("someCustomApiFilter", "x")]

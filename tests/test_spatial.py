@@ -119,3 +119,28 @@ def test_knn_distributed_matches_bruteforce(spark):
         brute = set(pts["image_id"].values[np.argsort(d, kind="stable")[:5]])
         mine = set(got.loc[got["query_id"] == q["query_id"], "image_id"])
         assert mine == brute, q["query_id"]
+
+
+def test_bbox_envelope_mode_keeps_large_geometries(spark):
+    """ADVICE round-1: envelope-mode bbox must not silently drop a geometry
+    whose centroid cell lies far outside the box.  Without a known max
+    extent the cell predicate is skipped; with one, the cover is padded."""
+    import pandas as pd
+    # geometry spanning 3 deg: centroid at 27.5, envelope reaching into a
+    # bbox that ends at 25.0
+    pdf = pd.DataFrame({"id": ["wide", "far"],
+                        "lon": [27.5, 30.0], "lat": [60.5, 69.0],
+                        "env_minx": [24.9, 29.9], "env_maxx": [30.1, 30.1],
+                        "env_miny": [60.0, 68.9], "env_maxy": [61.0, 69.1]})
+    df = SP.with_cells(spark.createDataFrame(pdf))
+    env = ("env_minx", "env_miny", "env_maxx", "env_maxy")
+    got = {r["id"] for r in df.filter(SP.bbox_predicate(
+        24.0, 59.8, 25.0, 61.0, envelope_cols=env)).collect()}
+    assert got == {"wide"}
+    # with an explicit extent bound the cell-IN predicate is kept AND correct
+    pred = SP.bbox_predicate(24.0, 59.8, 25.0, 61.0, envelope_cols=env,
+                             max_extent_deg=6.0)
+    got2 = {r["id"] for r in df.filter(pred).collect()}
+    assert got2 == {"wide"}
+    plan = df.filter(pred)._jdf.queryExecution().toString()
+    assert "cell_prefix" in plan

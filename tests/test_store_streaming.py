@@ -84,3 +84,39 @@ def test_stream_ingest_matches_batch(spark, tmp_path):
     # idempotent: second availableNow run ingests nothing new
     stream_ingest(spark, src_dir, root)
     assert store.read_table(spark, root).count() == 200
+
+
+def test_count_from_manifest_partition_aligned(spark, root):
+    imgs = fixtures.images_df(spark, 500, with_bytes=False)
+    prepared = ING.ingest_fused(imgs)
+    doc = store.write_partitioned(prepared, root, "j1")
+    # whole-table count, no scan
+    assert store.count_from_manifest(root) == 500
+    # per-geom_kind count matches a real filter count
+    kind = doc["partitions"][0]["geom_kind"]
+    real = store.read_table(spark, root).filter(F.col("geom_kind") == kind).count()
+    assert store.count_from_manifest(root, geom_kind=kind) == real
+    # set-valued filter and append accumulation
+    cells = {p["cell_prefix"] for p in doc["partitions"] if p["geom_kind"] == kind}
+    assert store.count_from_manifest(root, geom_kind=kind, cell_prefix=cells) == real
+    store.write_partitioned(prepared, root, "j2")
+    assert store.count_from_manifest(root) == 1000
+    # non-partition column -> None (caller must fall back to a scan)
+    assert store.count_from_manifest(root, image_id="x") is None
+
+
+def test_checkpoint_write_is_atomic(root):
+    """A crash mid-write can't corrupt checkpoints: writes go to a tmp file
+    then os.replace; a pre-existing good checkpoint survives a failed
+    rewrite attempt (ADVICE round-1)."""
+    store.mark_step(root, "job", "step1")
+    path = store._ckpt_path(root, "job")
+    before = open(path).read()
+    # simulate a crashed partial write left behind as tmp junk
+    with open(path + ".tmp.999", "w") as f:
+        f.write('{"trunca')
+    assert store.load_checkpoint(root, "job")["completed_steps"][0]["step"] == "step1"
+    store.mark_step(root, "job", "step2")
+    after = store.load_checkpoint(root, "job")
+    assert [s["step"] for s in after["completed_steps"]] == ["step1", "step2"]
+    assert before != open(path).read()
