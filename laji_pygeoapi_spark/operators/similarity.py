@@ -94,6 +94,47 @@ def ann_topk(df: DataFrame, query_vec, k: int = 10, planes: int = 8,
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def write_ann_store(df: DataFrame, root: str, planes: int = 8, seed: int = 1,
+                    vec_col: str = "embedding") -> None:
+    """Materialize the LSH bucket as a PARTITION column at write time
+    (round-1 verdict fix #5: computing the bucket per query forces a full
+    scan; stored as layout, a query touches only its probe partitions).
+
+    Layout: ``<root>/ann_bucket=<b>/part-*.parquet`` — the same
+    partition-pruning pattern as the spatial cell_prefix store."""
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    bucketed = df.withColumn(
+        "ann_bucket", lsh_bucket_expr(F.col(vec_col), planes, seed, dim))
+    (bucketed.repartition("ann_bucket")
+             .write.mode("overwrite").partitionBy("ann_bucket").parquet(root))
+
+
+def ann_topk_stored(spark, root: str, query_vec, k: int = 10, planes: int = 8,
+                    seed: int = 1, multiprobe: int = 1,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    round_dp: int = 4) -> DataFrame:
+    """ANN over a bucket-partitioned store: the probe-bucket IN filter is a
+    pure partition predicate, so Spark lists and reads ONLY the probed
+    directories — |probes| / 2^planes of the data, no full scan.  Same
+    probe selection and exact re-rank as :func:`ann_topk`."""
+    dim = len(query_vec)
+    rng = np.random.RandomState(seed)
+    h = rng.standard_normal((planes, dim))
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbits = (h @ qv >= 0).astype(int)
+    qbucket = int((qbits * (1 << np.arange(planes))).sum())
+    margins = np.abs(h @ qv)
+    probes = [qbucket]
+    for p in np.argsort(margins)[:multiprobe]:
+        probes.append(qbucket ^ (1 << int(p)))
+    cand = spark.read.parquet(root).filter(F.col("ann_bucket").isin(probes))
+    q = _query_lit(query_vec)
+    scored = cand.select(F.col(id_col),
+                         F.round(cosine_expr(F.col(vec_col), q), round_dp).alias("cosine"))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
 def pairwise_topk_per_label(df: DataFrame, k: int = 3,
                             vec_col: str = "embedding", id_col: str = "vec_id",
                             label_col: str = "label") -> DataFrame:

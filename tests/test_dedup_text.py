@@ -128,3 +128,40 @@ def test_multimodal_unknown_payload_isolated(spark):
     assert (~out["ok"]).all()  # poison rows isolated, job survives
     with pytest.raises(NotImplementedError):
         MM.sample_video_frames(None)
+
+
+def test_ann_stored_bucket_partition_pruning(spark, tmp_path):
+    """Verdict fix #5: the materialized ann_bucket is a partition column and
+    the probe filter reaches the scan as a partition predicate (no full
+    scan); results equal the compute-at-query-time ANN."""
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((400, 16))
+    pdf = pd.DataFrame({"vec_id": range(400),
+                        "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    root = str(tmp_path / "ann_store")
+    SIM.write_ann_store(df, root, planes=6, seed=1)
+    q = vecs[5].tolist()
+    stored = SIM.ann_topk_stored(spark, root, q, k=5, planes=6, seed=1,
+                                 multiprobe=2)
+    live = SIM.ann_topk(df, q, k=5, planes=6, seed=1, multiprobe=2)
+    assert [r["vec_id"] for r in stored.collect()] == \
+           [r["vec_id"] for r in live.collect()]
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ann_bucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_bucket_pairs_bounded_on_degenerate_corpus(spark):
+    """Verdict fix #7: an all-identical corpus collapses into one bucket per
+    band; the bucket cap bounds pair expansion (C(cap,2), not C(n,2)) and
+    posexplode keeps per-row struct counts at most cap."""
+    n = 600
+    pdf = pd.DataFrame({"doc_id": range(n),
+                        "text": ["the same exact document body"] * n})
+    df = spark.createDataFrame(pdf)
+    pairs = DD.minhash_lsh_candidates(df, num_perm=64, bands=16)
+    cnt = pairs.count()
+    cap = 256
+    assert cnt == cap * (cap - 1) // 2  # capped, deterministic lowest ids
+    ids = pairs.agg(F.max("id_b")).first()[0]
+    assert ids <= cap - 1  # only the first `cap` sorted ids participate
