@@ -494,6 +494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     hexsz = "({0})".format("11.0 / power(sqrt(7.0), 6)")
+    # aperture-7 rotation at res 6 (kernels/cells.py _rot(6)), full precision
+    from laji_pygeoapi_spark.kernels import cells as _cells
+    _hexc6, _hexs6 = (repr(v) for v in _cells._rot(6))
     asinh = "ln(tan(radians(lat)) + sqrt(tan(radians(lat))*tan(radians(lat)) + 1.0))"
     hav = ("2.0 * 6371008.8 * asin(least(1.0, sqrt("
            "power(sin(radians(p.lat - q.lat) / 2), 2) + cos(radians(q.lat)) * "
@@ -704,10 +707,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hex_cells": f"""
             WITH {_PTS_CTE},
-            ax AS (
-              SELECT (sqrt(3.0)/3.0 * lon - 1.0/3.0 * lat) / {hexsz} AS x,
-                     (2.0/3.0 * lat) / {hexsz} AS z
+            rot AS (
+              SELECT ({_hexc6}) * lon + ({_hexs6}) * lat AS gx,
+                     -({_hexs6}) * lon + ({_hexc6}) * lat AS gy
               FROM pts
+            ),
+            ax AS (
+              SELECT (sqrt(3.0)/3.0 * gx - 1.0/3.0 * gy) / {hexsz} AS x,
+                     (2.0/3.0 * gy) / {hexsz} AS z
+              FROM rot
             ),
             r0 AS (
               SELECT x, z, -x - z AS y,

@@ -33,6 +33,14 @@ _SQRT7 = np.sqrt(7.0)
 _SQRT3 = np.sqrt(3.0)
 _OFFSET = 1 << 25  # axial coords packed with this offset (26 bits each)
 
+# TRUE aperture-7 nesting rotates each finer lattice by arg(2 + w) where
+# w = e^{i*pi/3}: atan2(sqrt(3), 5) ~= 19.106605 deg (H3 rotates the same
+# amount, alternating Class II/III; a single cumulative direction keeps the
+# math one rotation).  With the rotation, the res-(r+1) lattice is the
+# res-r lattice scaled by 1/sqrt(7) and each parent hex contains EXACTLY 7
+# child centers — the property round-1 only approximated.
+_ALPHA7 = float(np.arctan2(np.sqrt(3.0), 5.0))
+
 MAX_HEX_RES = 15
 
 
@@ -40,14 +48,22 @@ def _hex_size(res) -> float:
     return _R0 / _SQRT7 ** np.asarray(res, dtype=np.float64)
 
 
+def _rot(res: int) -> tuple[float, float]:
+    th = float(res) * _ALPHA7
+    return float(np.cos(th)), float(np.sin(th))
+
+
 def hex_cell(lon, lat, res: int) -> np.ndarray:
     """Vectorized (lon, lat) -> int64 hex cell id at resolution 0..15."""
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
     size = _hex_size(res)
-    # pointy-top axial coords
-    q = (_SQRT3 / 3.0 * lon - 1.0 / 3.0 * lat) / size
-    r = (2.0 / 3.0 * lat) / size
+    c, s = _rot(res)
+    x = c * lon + s * lat
+    y = -s * lon + c * lat
+    # pointy-top axial coords in the res-rotated frame
+    q = (_SQRT3 / 3.0 * x - 1.0 / 3.0 * y) / size
+    r = (2.0 / 3.0 * y) / size
     qi, ri = _axial_round(q, r)
     return _pack(qi, ri, res)
 
@@ -87,9 +103,11 @@ def hex_center(cell) -> tuple[np.ndarray, np.ndarray]:
     """cell id -> (lon, lat) of the hex center."""
     res, q, r = hex_unpack(cell)
     size = _hex_size(res)
-    lon = size * (_SQRT3 * q + _SQRT3 / 2.0 * r)
-    lat = size * 1.5 * r
-    return lon, lat
+    x = size * (_SQRT3 * q + _SQRT3 / 2.0 * r)
+    y = size * 1.5 * r
+    th = res.astype(np.float64) * _ALPHA7
+    c, s = np.cos(th), np.sin(th)
+    return c * x - s * y, s * x + c * y
 
 
 def hex_parent(cell, parent_res: int) -> np.ndarray:
@@ -124,7 +142,10 @@ def hex_boundary(cell) -> np.ndarray:
     cx = size * (_SQRT3 * float(q[0]) + _SQRT3 / 2.0 * float(r[0]))
     cy = size * 1.5 * float(r[0])
     ang = np.pi / 180.0 * (60.0 * np.arange(6) - 30.0)
-    return np.stack([cx + size * np.cos(ang), cy + size * np.sin(ang)], axis=1)
+    gx = cx + size * np.cos(ang)
+    gy = cy + size * np.sin(ang)
+    c, s = _rot(int(res[0]))
+    return np.stack([c * gx - s * gy, s * gx + c * gy], axis=1)
 
 
 def hex_cells_in_bbox(minx, miny, maxx, maxy, res: int) -> np.ndarray:
@@ -132,19 +153,25 @@ def hex_cells_in_bbox(minx, miny, maxx, maxy, res: int) -> np.ndarray:
     the cell-range predicate generator for bbox pushdown (SURVEY §4)."""
     size = float(_hex_size(res))
     pad = size * 1.01
-    # candidate axial range from the padded bbox corners
+    c, s = _rot(res)
+    # candidate axial range from the padded bbox corners, rotated into the
+    # res frame (rotation preserves distances, so the pad stays valid)
     corners = np.array([
         [minx - pad, miny - pad], [maxx + pad, miny - pad],
         [minx - pad, maxy + pad], [maxx + pad, maxy + pad],
     ])
-    q = (_SQRT3 / 3.0 * corners[:, 0] - 1.0 / 3.0 * corners[:, 1]) / size
-    r = (2.0 / 3.0 * corners[:, 1]) / size
+    gx = c * corners[:, 0] + s * corners[:, 1]
+    gy = -s * corners[:, 0] + c * corners[:, 1]
+    q = (_SQRT3 / 3.0 * gx - 1.0 / 3.0 * gy) / size
+    r = (2.0 / 3.0 * gy) / size
     q0, q1 = int(np.floor(q.min())) - 1, int(np.ceil(q.max())) + 1
     r0, r1 = int(np.floor(r.min())) - 1, int(np.ceil(r.max())) + 1
     qs, rs = np.meshgrid(np.arange(q0, q1 + 1), np.arange(r0, r1 + 1), indexing="ij")
     qs, rs = qs.ravel(), rs.ravel()
-    lon = size * (_SQRT3 * qs + _SQRT3 / 2.0 * rs)
-    lat = size * 1.5 * rs
+    cx = size * (_SQRT3 * qs + _SQRT3 / 2.0 * rs)
+    cy = size * 1.5 * rs
+    lon = c * cx - s * cy
+    lat = s * cx + c * cy
     keep = (lon >= minx - pad) & (lon <= maxx + pad) & (lat >= miny - pad) & (lat <= maxy + pad)
     return _pack(qs[keep].astype(np.int64), rs[keep].astype(np.int64), res)
 

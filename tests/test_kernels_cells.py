@@ -111,3 +111,28 @@ def test_haversine_known_distance():
     d = cells.haversine_m(24.9384, 60.1699, 22.2666, 60.4518)
     assert d == pytest.approx(151_000, rel=0.02)
     assert cells.haversine_m(25.0, 60.0, 25.0, 60.0) == 0.0
+
+
+def test_hex_aperture7_exact_seven_children():
+    """True aperture-7 rotation (round-2): every parent hex contains the
+    centers of EXACTLY 7 child cells — 1 aligned at the parent center plus
+    a ring of 6 (H3's nesting invariant, previously only approximate)."""
+    import numpy as np
+    rng = np.random.RandomState(3)
+    lon = 19.0 + rng.rand(200) * 12.0
+    lat = 59.5 + rng.rand(200) * 10.0
+    for res in (4, 7):
+        parents = np.unique(cells.hex_cell(lon, lat, res))
+        # enumerate candidate children: k-ring 2 around the child cell at
+        # the parent center covers all possible children
+        plon, plat = cells.hex_center(parents)
+        seed_child = cells.hex_cell(plon, plat, res + 1)
+        cand = cells.hex_kring(seed_child, 2)          # (n, 19)
+        clon, clat = cells.hex_center(cand.ravel())
+        owner = cells.hex_cell(clon, clat, res)        # parent of each center
+        counts = (owner.reshape(cand.shape) ==
+                  np.asarray(parents)[:, None]).sum(axis=1)
+        assert (counts == 7).all(), counts
+        # the center child is exactly aligned with the parent center
+        slon, slat = cells.hex_center(seed_child)
+        assert np.allclose(slon, plon, atol=1e-9) and np.allclose(slat, plat, atol=1e-9)

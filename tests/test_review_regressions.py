@@ -29,21 +29,27 @@ def test_merge_with_null_load_date_no_overflow(spark):
 
 
 def test_knn_max_ring_never_drops_queries(spark):
-    """cur_ring doubling past max_ring must still emit every query."""
+    """cur_ring doubling past max_ring must still emit every query — and
+    (round-2, per ADVICE) queries the bounded ring search cannot answer
+    safely fall back to the EXACT distributed scan instead of returning
+    empty/inexact results."""
     from laji_pygeoapi_spark.operators import spatial as SP
     from laji_pygeoapi_spark.sources import fixtures
     pts = fixtures.images_df(spark, 50, with_bytes=False)
     # ring=3 doubles to 6 then must clamp AT max_ring=8 (not skip past it);
-    # the far query has nothing within its rings -> 0 rows, no crash
+    # the far query has nothing within its rings -> exact fallback kicks in
     queries = pd.DataFrame({"query_id": ["far", "near"],
-                            "lon": [-100.0, 24.9], "lat": [-40.0, 60.2]})
+                            "lon": [-100.0, -40.0], "lat": [-40.0, -20.0]})
     out = SP.knn_join(spark, pts, queries, k=3, res=7, ring=3, max_ring=8).toPandas()
-    assert "far" not in set(out["query_id"])          # bounded search: empty, not dropped silently mid-loop
-    near = out[out["query_id"] == "near"]
-    assert 1 <= len(near) <= 3                        # forced-completion round emitted it
+    far = out[out["query_id"] == "far"]
+    assert len(far) == 3                              # exact fallback answered it
+    assert set(out["query_id"]) == {"far", "near"}    # nothing dropped
+    # the fallback IS exact: compare against the distributed brute force
+    bf = SP.knn_bruteforce_distributed(spark, pts, queries.iloc[:1], k=3).toPandas()
+    assert sorted(far["image_id"]) == sorted(bf["image_id"])
     # pathological ring > max_ring must not crash either
     out2 = SP.knn_join(spark, pts, queries.iloc[:1], k=3, res=7, ring=100, max_ring=8).toPandas()
-    assert len(out2) == 0
+    assert len(out2) == 3
 
 
 def test_embedding_neardup_respects_dimension(spark):
