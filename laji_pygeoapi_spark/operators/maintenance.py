@@ -199,3 +199,45 @@ def collection_metadata(df: DataFrame, collection_col: str = "Aineiston_tunniste
             "quality": qmap.get(r[collection_col], {}),
         })
     return out
+
+
+# --------------------------------------------------------- T3: async overlap
+
+def run_overlapped(spark, named_tasks: dict) -> dict:
+    """T3 — overlap maintenance with ingest (SURVEY §2.10).
+
+    The reference fires maintenance asynchronously while the next load
+    proceeds (``main.py`` async stages).  Spark-idiomatic form: each task
+    runs on its own driver thread tagged with its own scheduler pool
+    (``spark.scheduler.pool``) — under FAIR scheduling the pools share
+    executors proportionally; under the default FIFO the jobs still
+    interleave stage-by-stage.  Correctness does not depend on the
+    scheduler: tasks must touch disjoint state (enforced by the caller),
+    and the overlap==sequential equivalence is integration-tested.
+
+    ``named_tasks``: pool-name -> zero-arg callable.  Returns name ->
+    result; re-raises the first task exception after all threads join.
+    """
+    import threading
+    results: dict = {}
+    errors: dict = {}
+
+    def runner(name, fn):
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+        try:
+            results[name] = fn()
+        except Exception as exc:  # noqa: BLE001 — reported to caller below
+            errors[name] = exc
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+    threads = [threading.Thread(target=runner, args=(n, f), name=f"t3-{n}")
+               for n, f in named_tasks.items()]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        name, exc = next(iter(errors.items()))
+        raise RuntimeError(f"overlapped task '{name}' failed") from exc
+    return results

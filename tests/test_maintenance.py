@@ -126,3 +126,47 @@ def test_collection_metadata_manifest(spark):
         assert len(m["bbox"]) == 4 and m["bbox"][0] <= m["bbox"][2]
         assert m["temporal"][0] and m["temporal"][0].endswith("Z")
         assert abs(sum(m["quality"].values()) - 100.0) < 0.5
+
+
+def test_t3_overlapped_maintenance_equals_sequential(spark, tmp_path):
+    """T3 (SURVEY §2.10): ingest of batch B overlapped with compaction of
+    store A produces byte-identical state to running them sequentially."""
+    import pyspark.sql.functions as F
+    from laji_pygeoapi_spark.operators import maintenance as M
+    from laji_pygeoapi_spark.plans import ingest as ING
+    from laji_pygeoapi_spark.sources import fixtures, table as store
+
+    imgs = ING.ingest_fused(fixtures.images_df(spark, 400, with_bytes=False))
+    root_a = str(tmp_path / "a")
+    store.write_partitioned(imgs, root_a, "seed")
+
+    def ingest_b(root):
+        def run():
+            return store.write_partitioned(imgs, root, "b")["total_rows"]
+        return run
+
+    def compact_a():
+        # maintenance job over store A while B ingests elsewhere
+        t = store.read_table(spark, root_a)
+        return t.groupBy("geom_kind").agg(F.count(F.lit(1)).alias("n")).collect()
+
+    seq_root = str(tmp_path / "seq")
+    over_root = str(tmp_path / "over")
+    n_seq = ingest_b(seq_root)()
+    stats_seq = compact_a()
+    out = M.run_overlapped(spark, {"ingest": ingest_b(over_root),
+                                   "maintenance": compact_a})
+    assert out["ingest"] == n_seq
+    assert sorted(map(tuple, out["maintenance"])) == sorted(map(tuple, stats_seq))
+    seq = store.read_table(spark, seq_root).orderBy("image_id").toPandas()
+    over = store.read_table(spark, over_root).orderBy("image_id").toPandas()
+    assert seq.equals(over)
+
+
+def test_t3_overlapped_task_error_propagates(spark):
+    from laji_pygeoapi_spark.operators import maintenance as M
+    import pytest as _pytest
+    def boom():
+        raise ValueError("x")
+    with _pytest.raises(RuntimeError, match="overlapped task"):
+        M.run_overlapped(spark, {"ok": lambda: 1, "bad": boom})
