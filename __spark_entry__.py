@@ -172,7 +172,9 @@ def q_hex_cells(spark, sf_dir):
 
 
 def q_s2_cells(spark, sf_dir):
-    """S2 cell encoding (level 10) histogram — no SQL oracle (Hilbert curve)."""
+    """S2 cell encoding (level 10) histogram.  Oracle: the full published S2
+    construction in SQL, including the Hilbert curve as an 8-round fold
+    over the spec's 1024-entry lookup table (VALUES relation)."""
     pts = _points(spark, sf_dir)
     return (pts.withColumn("s2", SP.s2_cell_udf(10)(F.col("lon"), F.col("lat")))
                .groupBy("s2").agg(F.count(F.lit(1)).alias("cnt")))
@@ -655,7 +657,69 @@ def oracle_sql() -> dict[str, str]:
         FROM pts p JOIN documents d USING (doc_id)
         WHERE p.doc_id < 100
     """
+    # s2_cells: the ENTIRE published S2 construction in SQL — cube-face
+    # selection, tangent->st quadratic projection, 30-bit ij quantization,
+    # and the Hilbert curve itself as an 8-round fold over the spec's
+    # 1024-entry (ij,orient)->(pos,orient) lookup table embedded as a
+    # VALUES relation (the table is derived from the published
+    # POS_TO_IJ/POS_TO_ORIENT constants, same as kernels/cells.py).
+    from laji_pygeoapi_spark.kernels import cells as _c2
+    _lk_values = ", ".join(f"({i}, {int(v)})" for i, v in enumerate(_c2._lookup_pos))
+    s2_sql = f"""
+        WITH {_PTS_CTE},
+        lk(k, v) AS (VALUES {_lk_values}),
+        xyz AS (SELECT doc_id,
+                cos(radians(lon))*cos(radians(lat)) AS x,
+                sin(radians(lon))*cos(radians(lat)) AS y,
+                sin(radians(lat)) AS z FROM pts),
+        f AS (SELECT *,
+              CASE WHEN abs(x) >= abs(y) THEN CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END
+                   ELSE CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END END AS face0
+              FROM xyz),
+        f2 AS (SELECT *, face0 + CASE WHEN (face0 = 0 AND x < 0) OR (face0 = 1 AND y < 0)
+                                        OR (face0 = 2 AND z < 0) THEN 3 ELSE 0 END AS face FROM f),
+        uv AS (SELECT doc_id, face,
+               CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                         WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+               CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                         WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+               FROM f2),
+        st AS (SELECT doc_id, face,
+               CASE WHEN u >= 0 THEN 0.5*sqrt(greatest(1+3*u, 0.0))
+                    ELSE 1 - 0.5*sqrt(greatest(1-3*u, 0.0)) END AS s,
+               CASE WHEN v >= 0 THEN 0.5*sqrt(greatest(1+3*v, 0.0))
+                    ELSE 1 - 0.5*sqrt(greatest(1-3*v, 0.0)) END AS t
+               FROM uv),
+        ij AS (SELECT doc_id, face,
+               greatest(CAST(0 AS BIGINT), least(CAST(floor(s * 1073741824) AS BIGINT), 1073741823)) AS i,
+               greatest(CAST(0 AS BIGINT), least(CAST(floor(t * 1073741824) AS BIGINT), 1073741823)) AS j
+               FROM st),
+        r0 AS (SELECT doc_id, face, i, j,
+               CAST(face AS BIGINT) * 1152921504606846976 AS n, (face & 1) AS bits FROM ij)"""
+    prev = "r0"
+    for idx, kk in enumerate(range(7, -1, -1)):
+        cur = f"r{idx + 1}"
+        s2_sql += f""",
+        {cur} AS (SELECT p.doc_id, p.face, p.i, p.j,
+            p.n | ((CAST(lk.v AS BIGINT) >> 2) << {kk * 8}) AS n,
+            lk.v & 3 AS bits
+            FROM {prev} p JOIN lk ON lk.k =
+              ((((((p.i >> {kk * 4}) & 15) << 4) + ((p.j >> {kk * 4}) & 15)) << 2) + p.bits))"""
+        prev = cur
+    # leaf id = 2n+1 (uint64 wrap via HUGEINT); level-10 truncation clears
+    # the low 41 bits and sets lsb = 2^40; convert back to signed int64
+    s2_sql += f""",
+        leaf AS (SELECT doc_id,
+                 ((CAST(n AS HUGEINT) * 2 + 1) % 18446744073709551616) AS ul FROM {prev}),
+        lvl AS (SELECT doc_id, CAST(CASE WHEN uq >= 9223372036854775808
+                                    THEN uq - 18446744073709551616 ELSE uq END AS BIGINT) AS s2
+                FROM (SELECT doc_id,
+                      ((ul // 2199023255552) * 2199023255552 + 1099511627776)
+                        % 18446744073709551616 AS uq FROM leaf))
+        SELECT s2, count(*) AS cnt FROM lvl GROUP BY 1
+    """
     return {
+        "s2_cells": s2_sql,
         "simhash": simhash_sql,
         "minhash_pairs": minhash_pairs_sql,
         "tm35fin": tm35fin_sql,
