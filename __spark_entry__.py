@@ -450,6 +450,15 @@ def q_geojson(spark, sf_dir):
         F.get_json_object(j, "$.properties.source").alias("source"))
 
 
+def q_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min) of the events feed — the batch twin
+    of the applyInPandasWithState streaming operator (parity pytest-gated);
+    the batch form is pure window functions with a full SQL oracle."""
+    from laji_pygeoapi_spark.streaming.sessions import sessionize_batch
+    ev = _tbl(spark, sf_dir, "events")
+    return sessionize_batch(ev)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synthesize points at sf0.001, PIP-join municipalities,
     histogram per municipality (the bbox+PIP serving core)."""
@@ -489,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "token_histogram": q_token_histogram,
         "hourly_rollup": q_hourly_rollup,
+        "sessions": q_sessions,
         "tm35fin": q_tm35fin,
         "geojson": q_geojson,
     }
@@ -917,6 +927,25 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings, q WHERE vec_id <> 0
             )
             SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "sessions": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            b AS (SELECT *, CASE WHEN prev IS NULL
+                                   OR epoch_us(ts) - prev > 1800000000
+                                 THEN 1 ELSE 0 END AS brk FROM o),
+            s AS (SELECT *, CAST(sum(brk) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM b)
+            SELECT user_id, session_no, count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS session_start,
+                   strftime(max(ts), '%Y-%m-%dT%H:%M:%SZ') AS session_end,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+                   CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_cents
+            FROM s GROUP BY user_id, session_no
         """,
         "hourly_rollup": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%SZ') AS hour,

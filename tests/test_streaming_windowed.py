@@ -52,3 +52,65 @@ def test_metadata_manifest_file(spark, tmp_path):
         loaded = json.load(f)
     assert len(loaded["collections"]) == len(docs) == 4
     assert all("bbox" in c and "quality" in c for c in loaded["collections"])
+
+
+def test_sessionize_batch_golden(spark):
+    import pandas as pd
+    from laji_pygeoapi_spark.streaming.sessions import sessionize_batch
+    pdf = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "user_id": [1, 1, 1, 2, 2, 1],
+        "ts": pd.to_datetime(["2020-01-01 10:00:00", "2020-01-01 10:10:00",
+                              "2020-01-01 11:30:00",  # > 30 min gap -> new session
+                              "2020-01-01 09:00:00", "2020-01-01 09:20:00",
+                              "2020-01-01 11:40:00"]),
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+    })
+    out = sessionize_batch(spark.createDataFrame(pdf)).orderBy(
+        "user_id", "session_no").toPandas()
+    assert out[["user_id", "session_no", "n_events", "duration_us"]].values.tolist() == [
+        [1, 1, 2, 600_000_000], [1, 2, 2, 600_000_000], [2, 1, 2, 1_200_000_000]]
+    assert out["sum_cents"].tolist() == [300, 900, 900]
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Custom stateful streaming operator (applyInPandasWithState): closed
+    sessions from the stream equal the batch window-function result."""
+    import pandas as pd
+    from laji_pygeoapi_spark.streaming.sessions import (sessionize_batch,
+                                                        sessionize_stream)
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+                       .select("event_id", "user_id", "ts", "value")
+    src = str(tmp_path / "sess_stream")
+    events.write.mode("overwrite").parquet(src)
+    # sentinel batch far in the future pushes the watermark past every
+    # open session so the stream closes them all
+    far = events.limit(1).select(
+        F.lit(10 ** 9).alias("event_id"), F.lit(-1).cast("long").alias("user_id"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+        F.lit(0.0).alias("value"))
+    far.write.mode("overwrite").parquet(str(tmp_path / "sess_stream2"))
+    import shutil, os
+    for f in os.listdir(str(tmp_path / "sess_stream2")):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(str(tmp_path / "sess_stream2"), f),
+                        os.path.join(src, "zz_" + f))
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    out = sessionize_stream(stream, watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("sess_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_sess"))
+            .trigger(availableNow=True))
+    q.start().awaitTermination()
+    got = (spark.table("sess_test").filter(F.col("user_id") >= 0)
+           .withColumn("session_start", F.date_format("session_start", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+           .withColumn("session_end", F.date_format("session_end", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+           .withColumn("sum_cents", F.round(F.col("sum_value") * 100, 0).cast("long"))
+           .select("user_id", "session_start", "session_end", "n_events", "sum_cents")
+           .orderBy("user_id", "session_start").toPandas())
+    exp = (sessionize_batch(events)
+           .select("user_id", "session_start", "session_end", "n_events", "sum_cents")
+           .orderBy("user_id", "session_start").toPandas())
+    assert len(got) > 0
+    assert got.equals(exp), (len(got), len(exp))
