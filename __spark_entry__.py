@@ -450,6 +450,21 @@ def q_geojson(spark, sf_dir):
         F.get_json_object(j, "$.properties.source").alias("source"))
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN top-10: coarse quantizer = the first 16 vectors (data-defined
+    codebook so the oracle can read it), nprobe=4 posting lists probed,
+    exact cosine re-rank.  The whole structure — assignment, probe
+    selection, re-rank — is SQL-expressible via joins, so the oracle checks
+    the full operator."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    dbl = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    codebook = (dbl.filter(F.col("vec_id") < 16)
+                   .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")))
+    qv = dbl.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return SIM.ivf_topk(dbl.filter(F.col("vec_id") != 0), codebook, qv,
+                        k=10, nprobe=4)
+
+
 def q_sessions(spark, sf_dir):
     """Gap-based sessionization (30-min) of the events feed — the batch twin
     of the applyInPandasWithState streaming operator (parity pytest-gated);
@@ -499,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": q_token_histogram,
         "hourly_rollup": q_hourly_rollup,
         "sessions": q_sessions,
+        "ivf_topk": q_ivf_topk,
         "tm35fin": q_tm35fin,
         "geojson": q_geojson,
     }
@@ -926,6 +942,26 @@ def oracle_sql() -> dict[str, str]:
                               * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
               FROM embeddings, q WHERE vec_id <> 0
             )
+            SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "ivf_topk": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            code AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 16),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            assign AS (
+              SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, code.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         round(list_dot_product(e.v, code.cvec) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(code.cvec, code.cvec))), 4) DESC, code.cid ASC) AS rn
+                FROM e CROSS JOIN code) WHERE rn = 1),
+            probes AS (
+              SELECT cid FROM code, q
+              ORDER BY round(list_dot_product(q.qv, code.cvec) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(code.cvec, code.cvec))), 4) DESC, cid ASC LIMIT 4),
+            scored AS (
+              SELECT a.vec_id, round(list_dot_product(a.v, q.qv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+              FROM assign a, q
+              WHERE a.cid IN (SELECT cid FROM probes) AND a.vec_id <> 0)
             SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
         """,
         "sessions": """

@@ -135,6 +135,75 @@ def ann_topk_stored(spark, root: str, query_vec, k: int = 10, planes: int = 8,
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+# ------------------------------------------------------------------- IVF
+
+def ivf_train(df: DataFrame, n_lists: int = 16, vec_col: str = "embedding",
+              id_col: str = "vec_id", sample_n: int = 4096,
+              iters: int = 10, seed: int = 0) -> np.ndarray:
+    """Deterministic coarse quantizer: Lloyd's k-means on a driver-side
+    sample (the lowest ``sample_n`` ids — reproducible; at 10^12 rows the
+    sample is what you would train on anyway).  Returns (n_lists, dim)."""
+    pdf = (df.filter(F.col(id_col) < sample_n)
+             .select(id_col, vec_col).orderBy(id_col).toPandas())
+    x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=n_lists, replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_lists):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_assign(df: DataFrame, codebook: DataFrame,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               cid_col: str = "cid", cvec_col: str = "cvec",
+               round_dp: int = 4) -> DataFrame:
+    """Assign every vector to its nearest codebook entry by cosine
+    (broadcast cross join over the tiny codebook + row_number) — the IVF
+    posting-list builder.  Cosines are ranked on the ``round_dp`` grid with
+    cid tie-break so the assignment is engine-deterministic."""
+    from pyspark.sql import Window
+    scored = (df.crossJoin(F.broadcast(codebook))
+                .withColumn("_sim", F.round(
+                    cosine_expr(F.col(vec_col), F.col(cvec_col)), round_dp)))
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col(cid_col).asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1)
+                  .select(id_col, vec_col, F.col(cid_col).alias("ivf_list")))
+
+
+def ivf_topk(df: DataFrame, codebook: DataFrame, query_vec, k: int = 10,
+             nprobe: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id", round_dp: int = 4) -> DataFrame:
+    """IVF ANN: rank codebook entries against the query, probe the
+    ``nprobe`` nearest posting lists, exact cosine re-rank inside.
+
+    Scale path: persist :func:`ivf_assign` partitioned by ``ivf_list``
+    (same layout pattern as write_ann_store) and the probe filter becomes
+    partition pruning — a query touches nprobe/n_lists of the data."""
+    code_pdf = codebook.toPandas()
+    q = np.asarray(query_vec, dtype=np.float64)
+    sims = []
+    for _, row in code_pdf.iterrows():
+        c = np.asarray(row["cvec"], dtype=np.float64)
+        denom = np.linalg.norm(c) * np.linalg.norm(q)
+        sims.append((round(float(c @ q / denom), round_dp) if denom > 0 else 0.0,
+                     -int(row["cid"])))
+    order = sorted(range(len(sims)), key=lambda i: sims[i], reverse=True)
+    probes = [int(code_pdf.iloc[i]["cid"]) for i in order[:nprobe]]
+    assigned = ivf_assign(df, codebook, vec_col=vec_col, id_col=id_col,
+                          round_dp=round_dp)
+    cand = assigned.filter(F.col("ivf_list").isin(probes))
+    qlit = _query_lit(query_vec)
+    scored = cand.select(F.col(id_col),
+                         F.round(cosine_expr(F.col(vec_col), qlit), round_dp).alias("cosine"))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
 def pairwise_topk_per_label(df: DataFrame, k: int = 3,
                             vec_col: str = "embedding", id_col: str = "vec_id",
                             label_col: str = "label") -> DataFrame:

@@ -165,3 +165,30 @@ def test_bucket_pairs_bounded_on_degenerate_corpus(spark):
     assert cnt == cap * (cap - 1) // 2  # capped, deterministic lowest ids
     ids = pairs.agg(F.max("id_b")).first()[0]
     assert ids <= cap - 1  # only the first `cap` sorted ids participate
+
+
+def test_ivf_train_and_recall(spark):
+    """IVF: trained codebook is deterministic; recall@10 grows with nprobe
+    and reaches 1.0 at nprobe=n_lists (probing everything == brute force)."""
+    rng = np.random.RandomState(11)
+    # clustered data so the quantizer has real structure
+    centers = rng.standard_normal((4, 16)) * 3
+    vecs = np.vstack([centers[i % 4] + rng.standard_normal(16) * 0.3
+                      for i in range(300)])
+    pdf = pd.DataFrame({"vec_id": range(300),
+                        "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    c1 = SIM.ivf_train(df, n_lists=4, sample_n=300, iters=8, seed=0)
+    c2 = SIM.ivf_train(df, n_lists=4, sample_n=300, iters=8, seed=0)
+    assert np.array_equal(c1, c2)  # deterministic
+    codebook = spark.createDataFrame(pd.DataFrame({
+        "cid": range(4), "cvec": [c.tolist() for c in c1]}))
+    q = vecs[7].tolist()
+    brute = [r["vec_id"] for r in SIM.brute_force_topk(df, q, k=10).collect()]
+    got1 = [r["vec_id"] for r in SIM.ivf_topk(df, codebook, q, k=10, nprobe=1).collect()]
+    got4 = [r["vec_id"] for r in SIM.ivf_topk(df, codebook, q, k=10, nprobe=4).collect()]
+    r1 = len(set(got1) & set(brute)) / 10
+    r4 = len(set(got4) & set(brute)) / 10
+    assert r4 == 1.0          # probing all lists is exact
+    assert r1 >= 0.5          # the query's own cluster holds most neighbors
+    assert r4 >= r1
