@@ -114,3 +114,71 @@ def test_tile_contains_its_point(seed, zoom):
     w, s, e, n = C.tile_bounds(zoom, int(x[0]), int(y[0]))
     assert w - 1e-9 <= lon <= e + 1e-9
     assert s - 1e-9 <= lat <= n + 1e-9
+
+
+# ---------------------------------------------- round-2 property additions
+
+@given(st.lists(st.tuples(coord, coord), min_size=1, max_size=30))
+@settings(max_examples=40, deadline=None)
+def test_hex_rotation_preserves_metrics(pts):
+    """Aperture-7 rotation invariants: cell ids round-trip through centers
+    at every resolution, and parent(child(p)) contains p's cell center."""
+    arr = np.array(pts)
+    lon, lat = arr[:, 0], arr[:, 1]
+    for res in (2, 5, 9):
+        c = C.hex_cell(lon, lat, res)
+        clon, clat = C.hex_center(c)
+        assert (C.hex_cell(clon, clat, res) == c).all()
+        # center distance to the point is bounded by the circumradius
+        d = np.hypot(clon - lon, clat - lat)
+        assert (d <= float(C._hex_size(res)) * 1.0000001).all()
+
+
+@given(st.integers(min_value=0, max_value=10**9), st.integers(min_value=0, max_value=5))
+@settings(max_examples=60, deadline=None)
+def test_hex_parent_is_consistent(seed, res):
+    rng = np.random.RandomState(seed % 2**31)
+    lon = rng.uniform(-170, 170, 5)
+    lat = rng.uniform(-80, 80, 5)
+    child = C.hex_cell(lon, lat, res + 2)
+    parent = C.hex_parent(child, res)
+    # parent of the child's center must be the parent cell itself
+    clon, clat = C.hex_center(child)
+    assert (C.hex_cell(clon, clat, res) == parent).all()
+
+
+def _py_sessions(rows, gap_s):
+    """Reference sessionizer in plain python: rows = [(user, ts_us, val)]."""
+    out = {}
+    for user, ts, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        sessions = out.setdefault(user, [])
+        if sessions and ts - sessions[-1]["last"] <= gap_s * 1_000_000:
+            s = sessions[-1]
+            s["n"] += 1
+            s["last"] = ts
+        else:
+            sessions.append({"start": ts, "last": ts, "n": 1})
+    return {(u, i + 1): (s["n"], s["last"] - s["start"])
+            for u, ss in out.items() for i, s in enumerate(ss)}
+
+
+def test_sessionize_batch_property(spark):
+    """Randomized parity: the Spark window-function sessionizer equals a
+    plain-python reference over random event streams."""
+    import pandas as pd
+    from laji_pygeoapi_spark.streaming.sessions import sessionize_batch
+    rng = np.random.RandomState(9)
+    n = 400
+    users = rng.randint(0, 12, n)
+    ts_us = np.sort(rng.randint(0, 3 * 86400 * 10**6, n).astype("int64"))
+    pdf = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": users,
+        "ts": pd.to_datetime(ts_us, unit="us"),
+        "value": rng.rand(n),
+    })
+    got = sessionize_batch(spark.createDataFrame(pdf), gap_s=3600).toPandas()
+    exp = _py_sessions(list(zip(users.tolist(), ts_us.tolist(), range(n))), 3600)
+    got_map = {(r.user_id, r.session_no): (r.n_events, r.duration_us)
+               for r in got.itertuples()}
+    assert got_map == exp
