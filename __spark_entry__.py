@@ -465,6 +465,27 @@ def q_ivf_topk(spark, sf_dir):
                         k=10, nprobe=4)
 
 
+def q_curation(spark, sf_dir):
+    """End-to-end training-data curation: lang filter + quality filter +
+    exact dedup + MinHash near-dup drop, composed from oracle-checked
+    stages — the whole pipeline compared against one DuckDB query."""
+    from laji_pygeoapi_spark.plans.curation import curate
+    docs = _tbl(spark, sf_dir, "documents")
+    return curate(docs, lang="en", min_quality=0.6, jaccard_threshold=0.7)
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-source quota sampling (10 docs/stratum by hash
+    order) — reproducible across runs/partitionings, SQL-expressible."""
+    from laji_pygeoapi_spark.plans.curation import stratified_sample
+    docs = _tbl(spark, sf_dir, "documents")
+    # multiplicative hash key so the oracle can evaluate the same ordering
+    # (the operator's default xxhash64 key is the scale path, pytest-gated)
+    key = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1048576))
+    return (stratified_sample(docs, quota=10, key=key)
+            .select("doc_id", "source"))
+
+
 def q_sessions(spark, sf_dir):
     """Gap-based sessionization (30-min) of the events feed — the batch twin
     of the applyInPandasWithState streaming operator (parity pytest-gated);
@@ -515,6 +536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_rollup": q_hourly_rollup,
         "sessions": q_sessions,
         "ivf_topk": q_ivf_topk,
+        "curation": q_curation,
+        "sample_stratified": q_sample_stratified,
         "tm35fin": q_tm35fin,
         "geojson": q_geojson,
     }
@@ -744,7 +767,45 @@ def oracle_sql() -> dict[str, str]:
                         % 18446744073709551616 AS uq FROM leaf))
         SELECT s2, count(*) AS cnt FROM lvl GROUP BY 1
     """
+    curation_sql = f"""
+        WITH prof AS (
+          SELECT doc_id, text, {lang_pred} AS lang_pred, {ntok} AS n_tokens,
+                 {quality} AS quality
+          FROM documents),
+        kept AS (SELECT * FROM prof
+                 WHERE lang_pred = 'en' AND quality >= 0.6),
+        exact AS (SELECT * FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY array_to_string({_TOKENS_SQL}, ' ')
+              ORDER BY doc_id) AS rn
+            FROM kept) WHERE rn = 1),
+        tok2 AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM exact),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                        range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))
+                      ELSE [array_to_string(t, ' ')] END AS s
+               FROM tok2 WHERE len(t) > 0),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        ns AS (SELECT doc_id, len(s) AS n FROM sh),
+        dups AS (SELECT DISTINCT id_b
+                 FROM inter JOIN ns x ON x.doc_id = id_a JOIN ns y ON y.doc_id = id_b
+                 WHERE i * 1.0 / (x.n + y.n - i) >= 0.7)
+        SELECT doc_id, n_tokens, quality FROM exact
+        WHERE doc_id NOT IN (SELECT id_b FROM dups)
+    """
+    sample_sql = """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source, row_number() OVER (
+            PARTITION BY source
+            ORDER BY (doc_id * 2654435761) % 1048576, doc_id) AS rn
+          FROM documents) WHERE rn <= 10
+    """
     return {
+        "curation": curation_sql,
+        "sample_stratified": sample_sql,
         "s2_cells": s2_sql,
         "simhash": simhash_sql,
         "minhash_pairs": minhash_pairs_sql,

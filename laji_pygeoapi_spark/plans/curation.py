@@ -1,0 +1,66 @@
+"""Training-data curation pipeline — the C4-style end-to-end composition of
+the text/dedup operators (driver mandate: "the operations a large-scale
+training-data pipeline would need", as a first-class pipeline, not just
+parts).
+
+Stage order matters at scale: cheap row-local filters (language, quality)
+run FIRST inside the scan projection, exact dedup second (one shuffle on a
+64-bit fingerprint), near-dup LSH last (runs only on survivors).  Every
+stage is a composition of oracle-checked operators, so the WHOLE pipeline
+has a DuckDB oracle (``__spark_entry__.oracle_sql['curation']``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as DD
+from ..operators import text as TX
+
+
+def curate(df: DataFrame, lang: str = "en", min_quality: float = 0.6,
+           jaccard_threshold: float = 0.7, text_col: str = "text",
+           id_col: str = "doc_id") -> DataFrame:
+    """lang-ID filter -> quality filter -> exact dedup (keep lowest id) ->
+    MinHash near-dup drop (higher id of each verified pair) -> curated doc
+    list with token counts.  Returns (id, n_tokens, quality)."""
+    # TX.profile stages tokenization once (lambda re-evaluation trap)
+    scored = TX.profile(df.select(id_col, text_col), text_col)
+    kept = scored.filter((F.col("lang_pred") == lang)
+                         & (F.col("quality") >= min_quality))
+    # exact dedup keyed on the 64-bit fingerprint of the normalized token
+    # stream (the scale-right shuffle key; the oracle partitions by the
+    # normalized STRING — identical groups up to a 2^-64 collision)
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    exact = (kept.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1).drop("_rn"))
+    # near-dup drop among survivors (LSH candidates + exact Jaccard verify)
+    pairs = DD.minhash_lsh_candidates(exact, text_col=text_col, id_col=id_col)
+    dups = DD.jaccard_verify(exact, pairs, text_col=text_col, id_col=id_col,
+                             threshold=jaccard_threshold)
+    drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return (exact.join(drop, id_col, "left_anti")
+                 .select(id_col, "n_tokens", "quality"))
+
+
+def deterministic_sample(df: DataFrame, fraction: float,
+                         id_col: str = "doc_id", key=None) -> DataFrame:
+    """Reproducible row sample: keep rows whose hash bucket falls under
+    ``fraction``.  Default key is ``xxhash64(id)`` — stable across runs,
+    partitionings and cluster sizes (the property rand()-based sampling
+    lacks).  ``key`` overrides with any deterministic Column (the driver
+    query passes a multiplicative hash both engines can evaluate)."""
+    h = key if key is not None else F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 20))
+    return df.filter(h < int(fraction * (1 << 20)))
+
+
+def stratified_sample(df: DataFrame, quota: int, strata_col: str = "source",
+                      id_col: str = "doc_id", key=None) -> DataFrame:
+    """Per-stratum deterministic quota sample: the ``quota`` rows with the
+    smallest (hash, id) per stratum — one shuffle on the stratum key; the
+    hash ordering makes the sample uniform-ish while reproducible."""
+    h = key if key is not None else F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 20))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= quota).drop("_rn"))

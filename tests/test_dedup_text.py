@@ -192,3 +192,32 @@ def test_ivf_train_and_recall(spark):
     assert r4 == 1.0          # probing all lists is exact
     assert r1 >= 0.5          # the query's own cluster holds most neighbors
     assert r4 >= r1
+
+
+def test_curation_pipeline_stages(spark, docs):
+    """Composed curation: every surviving doc is en + above the quality
+    bar, exact dups collapsed, near-dups dropped."""
+    from laji_pygeoapi_spark.plans.curation import curate
+    out = curate(docs, lang="en", min_quality=0.0, jaccard_threshold=0.5).toPandas()
+    ids = set(out["doc_id"])
+    assert 3 not in ids                # finnish doc filtered by lang
+    assert not ({100, 101} <= ids)     # exact dups collapsed
+    assert 102 not in ids or 100 not in ids  # near-dup pair reduced
+    assert (out["n_tokens"] > 0).all()
+
+
+def test_deterministic_and_stratified_sampling(spark):
+    from laji_pygeoapi_spark.plans.curation import (deterministic_sample,
+                                                    stratified_sample)
+    pdf = pd.DataFrame({"doc_id": range(2000),
+                        "source": [f"s{i % 5}" for i in range(2000)]})
+    df = spark.createDataFrame(pdf)
+    s1 = sorted(r["doc_id"] for r in deterministic_sample(df, 0.25).collect())
+    s2 = sorted(r["doc_id"] for r in
+                deterministic_sample(df.repartition(13), 0.25).collect())
+    assert s1 == s2                    # stable across partitionings
+    assert 0.18 < len(s1) / 2000 < 0.32
+    st = stratified_sample(df, quota=7).toPandas()
+    assert st.groupby("source").size().eq(7).all()
+    st2 = stratified_sample(df.repartition(3), quota=7).toPandas()
+    assert sorted(st["doc_id"]) == sorted(st2["doc_id"])
