@@ -196,3 +196,73 @@ def synth_image(i: int, w: int, h: int) -> np.ndarray:
     rng = np.random.RandomState(42 + i % 100003)
     noise = rng.randint(0, 32, size=(h, w, 3)).astype(np.uint8)
     return (base.astype(np.uint16) + noise).clip(0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------------ audio
+
+_RIFF = b"RIFF"
+_WAVE = b"WAVE"
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """PCM16 RIFF/WAVE writer (canonical 44-byte header), pure stdlib.
+
+    ``samples``: int16 (n,) mono or (n, ch).  The audio counterpart of the
+    PNG path — a REAL container format, parsed back by :func:`decode_wav`.
+    """
+    import struct
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.astype("<i2").tobytes()
+    byte_rate = rate * ch * 2
+    hdr = struct.pack("<4sI4s4sIHHIIHH4sI", _RIFF, 36 + len(data), _WAVE,
+                      b"fmt ", 16, 1, ch, rate, byte_rate, ch * 2, 16,
+                      b"data", len(data))
+    return hdr + data
+
+
+def decode_wav(blob: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE reader -> (rate, int16 samples (n, ch)).
+
+    Walks the chunk list (not just the canonical layout), PCM16 only —
+    compressed WAVE (ADPCM/float/mp3-in-wav) raises NotImplementedError,
+    the same honest stub-gating as the image codecs."""
+    import struct
+    if len(blob) < 12 or blob[:4] != _RIFF or blob[8:12] != _WAVE:
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(blob):
+        cid, size = struct.unpack_from("<4sI", blob, pos)
+        body = blob[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_fmt, ch, rate, _br, _ba, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 WAVE is decodable here (fmt={audio_fmt}, bits={bits})")
+    s = np.frombuffer(data, dtype="<i2")
+    if ch > 1:
+        s = s[: len(s) - len(s) % ch].reshape(-1, ch)
+    else:
+        s = s[:, None]
+    return rate, s
+
+
+def synth_audio(i: int, rate: int = 8000, seconds: float = 0.5) -> tuple[bytes, float]:
+    """Deterministic test tone for row i: sine at a row-derived frequency +
+    low noise, PCM16 WAV bytes.  Returns (bytes, planted_freq_hz)."""
+    freq = 200.0 + (i % 40) * 37.0
+    t = np.arange(int(rate * seconds)) / rate
+    rng = np.random.RandomState(1000 + i % 99991)
+    wave = 0.7 * np.sin(2 * np.pi * freq * t) + 0.02 * rng.standard_normal(len(t))
+    pcm = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+    return encode_wav(pcm, rate), freq

@@ -116,3 +116,98 @@ def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     raise NotImplementedError(
         "video frame sampling requires ffmpeg/pyav, not available here; "
         "the mapInPandas plumbing pattern is extract_features/resize_images")
+
+
+# ------------------------------------------------------------------ audio
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("audio_id", T.StringType()),
+    T.StructField("ok", T.BooleanType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("rate", T.IntegerType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+    T.StructField("zcr", T.DoubleType()),
+    T.StructField("dom_freq_hz", T.DoubleType()),
+])
+
+
+def audio_features(df: DataFrame, bytes_col: str = "bytes",
+                   id_col: str = "audio_id") -> DataFrame:
+    """mapInPandas audio feature extraction over PCM16 WAV binary columns:
+    duration, RMS, peak, zero-crossing rate and FFT dominant frequency —
+    real DSP in numpy (the WAV container parse is kernels.codec.decode_wav;
+    compressed formats are stub-gated like the image codecs).  Poison rows
+    (null / non-WAV / non-PCM) get ok=false, never fail the job."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            cols = {k: np.full(n, np.nan)
+                    for k in ("duration_s", "rms", "peak", "zcr", "dom_freq_hz")}
+            rate_out = np.zeros(n, dtype=np.int32)
+            ok = np.zeros(n, dtype=bool)
+            for i, blob in enumerate(pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    rate, s = codec.decode_wav(bytes(blob))
+                except Exception:  # poison-pill isolation
+                    continue
+                mono = s.astype(np.float64).mean(axis=1) / 32768.0
+                if not len(mono):
+                    continue
+                ok[i] = True
+                rate_out[i] = rate
+                cols["duration_s"][i] = len(mono) / rate
+                cols["rms"][i] = float(np.sqrt((mono ** 2).mean()))
+                cols["peak"][i] = float(np.abs(mono).max())
+                cols["zcr"][i] = float((np.diff(np.signbit(mono)) != 0).mean())
+                spec = np.abs(np.fft.rfft(mono))
+                spec[0] = 0.0  # ignore DC
+                cols["dom_freq_hz"][i] = float(np.argmax(spec) * rate / len(mono))
+            yield pd.DataFrame({id_col: pdf[id_col], "ok": ok,
+                                "duration_s": cols["duration_s"],
+                                "rate": rate_out, "rms": cols["rms"],
+                                "peak": cols["peak"], "zcr": cols["zcr"],
+                                "dom_freq_hz": cols["dom_freq_hz"]})
+
+    return df.select(id_col, bytes_col).mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+RESAMPLE_SCHEMA = T.StructType([
+    T.StructField("audio_id", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+])
+
+
+def resample_audio(df: DataFrame, target_rate: int,
+                   bytes_col: str = "bytes", id_col: str = "audio_id") -> DataFrame:
+    """mapInPandas linear-interpolation resample + PCM16 re-encode
+    (deterministic; the audio twin of resize_images)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, n_out = [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    rate, s = codec.decode_wav(bytes(blob))
+                except (ValueError, NotImplementedError):
+                    continue
+                mono = s.astype(np.float64).mean(axis=1)
+                n_new = max(1, int(round(len(mono) * target_rate / rate)))
+                x_new = np.linspace(0.0, len(mono) - 1, n_new)
+                res = np.interp(x_new, np.arange(len(mono)), mono)
+                pcm = np.clip(res, -32768, 32767).astype(np.int16)
+                ids.append(rid)
+                blobs.append(codec.encode_wav(pcm, target_rate))
+                n_out.append(n_new)
+            yield pd.DataFrame({id_col: ids, "bytes": blobs,
+                                "rate": np.full(len(ids), target_rate, dtype=np.int32),
+                                "n_samples": np.asarray(n_out, dtype=np.int64)})
+
+    return df.select(id_col, bytes_col).mapInPandas(run, schema=RESAMPLE_SCHEMA)

@@ -324,3 +324,21 @@ _TAXON_IDS = ["MVL.26280", "MVL.27801", "MVL.27800", "MVL.27802",
 
 def quality_label_map() -> dict[str, str]:
     return dict(zip(QUALITY_LABELS_KEYS, QUALITY_LABELS))
+
+
+
+def audio_df(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic PCM16 WAV test corpus: per-row sine tone + noise with a
+    row-derived planted frequency (kernels.codec.synth_audio)."""
+    from pyspark.sql import types as T
+    from ..kernels import codec as _codec
+    rows = []
+    for i in range(n):
+        blob, freq = _codec.synth_audio(i)
+        rows.append((f"au{i:06d}", bytearray(blob), float(freq)))
+    schema = T.StructType([
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("planted_freq", T.DoubleType()),
+    ])
+    return spark.createDataFrame(rows, schema=schema)

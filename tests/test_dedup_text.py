@@ -221,3 +221,45 @@ def test_deterministic_and_stratified_sampling(spark):
     assert st.groupby("source").size().eq(7).all()
     st2 = stratified_sample(df.repartition(3), quota=7).toPandas()
     assert sorted(st["doc_id"]) == sorted(st2["doc_id"])
+
+
+def test_audio_codec_roundtrip():
+    from laji_pygeoapi_spark.kernels import codec
+    rng = np.random.RandomState(5)
+    pcm = (rng.standard_normal(4000) * 10000).astype(np.int16)
+    blob = codec.encode_wav(pcm, 8000)
+    rate, back = codec.decode_wav(blob)
+    assert rate == 8000
+    assert np.array_equal(back[:, 0], pcm)
+    # stereo
+    st = np.stack([pcm, -pcm], axis=1)
+    rate2, back2 = codec.decode_wav(codec.encode_wav(st, 44100))
+    assert rate2 == 44100 and np.array_equal(back2, st)
+    # non-PCM gated honestly
+    import struct
+    bad = bytearray(blob)
+    struct.pack_into("<H", bad, 20, 3)  # fmt=3 (float) in the fmt chunk
+    with pytest.raises(NotImplementedError):
+        codec.decode_wav(bytes(bad))
+
+
+def test_audio_features_and_resample(spark):
+    from laji_pygeoapi_spark.operators import multimodal as MM
+    from laji_pygeoapi_spark.sources import fixtures
+    au = fixtures.audio_df(spark, 12).cache()
+    feats = MM.audio_features(au).toPandas().set_index("audio_id")
+    planted = {r["audio_id"]: r["planted_freq"] for r in au.collect()}
+    assert feats["ok"].all()
+    assert np.allclose(feats["duration_s"], 0.5, atol=1e-3)
+    for aid, f in planted.items():
+        # FFT bin width = rate/n = 2 Hz at 8 kHz / 0.5 s
+        assert abs(feats.loc[aid, "dom_freq_hz"] - f) <= 2.1, (aid, f)
+    res = MM.resample_audio(au, 4000).toPandas()
+    assert (res["rate"] == 4000).all()
+    assert (res["n_samples"] == 2000).all()
+    # poison rows isolated
+    import pandas as pd
+    bad = spark.createDataFrame(pd.DataFrame(
+        {"audio_id": ["x", "y"], "bytes": [b"not audio", None]}))
+    out = MM.audio_features(bad).toPandas()
+    assert (~out["ok"]).all()
