@@ -131,6 +131,17 @@ def q_pip_province(spark, sf_dir):
                   .agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def q_pip_distributed(spark, sf_dir):
+    """J4 scale path — NON-broadcast PIP: polygons explode to their hex
+    cell cover, equi-join on the cell, exact vectorized ray cast on the
+    candidates.  Same oracle family as pip_municipality (grid membership),
+    keyed by polygon id."""
+    from laji_pygeoapi_spark.sources import fixtures
+    pts = _points(spark, sf_dir)
+    joined = SP.pip_join_distributed(pts, fixtures.municipalities_df(spark))
+    return joined.groupBy("poly_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def q_knn(spark, sf_dir):
     """J5 — kNN via hex k-ring expansion + exact haversine re-rank."""
     import pandas as pd
@@ -507,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_preflight": q_count_preflight,
         "pip_municipality": q_pip_municipality,
         "pip_province": q_pip_province,
+        "pip_distributed": q_pip_distributed,
         "knn": q_knn,
         "knn_distributed": q_knn_distributed,
         "intersects": q_intersects,
@@ -833,6 +845,17 @@ def oracle_sql() -> dict[str, str]:
         "count_preflight": """
             SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders
             FROM lineitem
+        """,
+        "pip_distributed": f"""
+            WITH {_PTS_CTE},
+            cells AS (
+              SELECT least(3, greatest(0, CAST(floor((lon - {_FIN[0]}) / ({_FIN[2]} - {_FIN[0]}) * 4) AS INT))) AS gx,
+                     least(4, greatest(0, CAST(floor((lat - {_FIN[1]}) / ({_FIN[3]} - {_FIN[1]}) * 5) AS INT))) AS gy
+              FROM pts
+            )
+            SELECT 'ML.' || CAST(600 + gy * 4 + gx AS VARCHAR) AS poly_id,
+                   count(*) AS cnt
+            FROM cells GROUP BY 1
         """,
         "pip_province": f"""
             WITH {_PTS_CTE},

@@ -188,6 +188,77 @@ def pip_join(df: DataFrame, polygons: pd.DataFrame,
     return df.drop("_pip")
 
 
+def pip_join_distributed(points: DataFrame, polygons: DataFrame,
+                         lon: str = "lon", lat: str = "lat",
+                         poly_id: str = "id", wkb_col: str = "wkb",
+                         cover_res: int = PARTITION_RES,
+                         how: str = "left") -> DataFrame:
+    """J4 at scale — NON-broadcast point-in-polygon join for a LARGE
+    polygon side (the broadcast grid-index path, :func:`pip_join`, tops out
+    when the dimension no longer fits an executor).
+
+    Plan: each polygon explodes to the coarse hex cells covering its
+    envelope (``hex_cells_in_bbox`` — the polygon-side analog of the bbox
+    cell cover); points carry their cell; an EQUI-join on the cell id
+    produces (point, candidate polygon) pairs that Catalyst hash-partitions
+    like any other join — no cartesian, no broadcast.  The exact even-odd
+    ray cast then runs in an Arrow pandas UDF with a per-batch polygon
+    decode cache (candidates arrive clustered by cell, so each polygon
+    decodes ~once per batch).
+
+    Both sides shuffle ONCE on the cell key; skewed cells (a metropolis
+    polygon overlapping a dense cell) are AQE skew-join territory.  Result:
+    points + matched ``poly_id`` (first match by ascending polygon id —
+    same tie rule as pip_join); ``how='left'`` keeps unmatched points.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernels import geom as G
+    from ..kernels import wkb as W
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def cover_cells(minx: pd.Series, miny: pd.Series,
+                    maxx: pd.Series, maxy: pd.Series) -> pd.Series:
+        out = []
+        for a, b, c, d in zip(minx, miny, maxx, maxy):
+            out.append([int(x) for x in C.hex_cells_in_bbox(a, b, c, d, cover_res)])
+        return pd.Series(out)
+
+    polys = polygons.select(
+        F.col(poly_id).alias("_pid"), F.col(wkb_col).alias("_wkb"),
+        F.explode(cover_cells("minx", "miny", "maxx", "maxy")).alias("_cell"))
+    pts = points.withColumn("_cell", hex_cell_udf(cover_res)(F.col(lon), F.col(lat)))
+    cand = pts.join(polys, "_cell")
+
+    @pandas_udf(T.BooleanType())
+    def exact_pip(lons: pd.Series, lats: pd.Series, wkbs: pd.Series) -> pd.Series:
+        out = np.zeros(len(lons), dtype=bool)
+        px = lons.to_numpy(np.float64)
+        py = lats.to_numpy(np.float64)
+        # group candidate rows by polygon: one decode + one VECTORIZED ray
+        # cast per distinct polygon per batch
+        groups: dict[bytes, list[int]] = {}
+        for i, blob in enumerate(wkbs):
+            groups.setdefault(bytes(blob), []).append(i)
+        for key, idx in groups.items():
+            geom = W.loads(key)
+            ii = np.asarray(idx)
+            out[ii] = G.points_in_polygon(px[ii], py[ii], geom)
+        return pd.Series(out)
+
+    hits = (cand.filter(exact_pip(F.col(lon), F.col(lat), F.col("_wkb")))
+                .drop("_wkb", "_cell"))
+    # first match by ascending polygon id (deterministic, matches pip_join)
+    key_cols = [c for c in points.columns]
+    w = Window.partitionBy(*key_cols).orderBy(F.col("_pid").asc())
+    matched = (hits.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn"))
+    if how == "inner":
+        return matched.withColumnRenamed("_pid", "poly_id")
+    return (points.join(matched.select(*key_cols, "_pid"), key_cols, "left")
+                  .withColumnRenamed("_pid", "poly_id"))
+
+
 # ----------------------------------------------------------------- kNN
 
 def knn_join(spark: SparkSession, points: DataFrame, queries: pd.DataFrame,

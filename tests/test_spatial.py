@@ -144,3 +144,25 @@ def test_bbox_envelope_mode_keeps_large_geometries(spark):
     assert got2 == {"wide"}
     plan = df.filter(pred)._jdf.queryExecution().toString()
     assert "cell_prefix" in plan
+
+
+def test_pip_join_distributed_matches_broadcast(spark):
+    """J4 scale path: the non-broadcast cell-cover PIP join returns the
+    same assignment as the broadcast grid-index join."""
+    from laji_pygeoapi_spark.sources import fixtures
+    pts = fixtures.images_df(spark, 400, with_bytes=False) \
+                  .select("image_id", "lon", "lat")
+    bc = SP.pip_join(pts, fixtures.municipalities_pdf(), extra_cols=())
+    dist = SP.pip_join_distributed(pts, fixtures.municipalities_df(spark))
+    a = {r["image_id"]: r["poly_id"] for r in bc.collect()}
+    b = {r["image_id"]: r["poly_id"] for r in dist.collect()}
+    assert a == b
+    assert any(v is not None for v in a.values())
+    # inner mode drops unmatched points
+    inner = SP.pip_join_distributed(pts, fixtures.municipalities_df(spark),
+                                    how="inner")
+    assert inner.count() == sum(v is not None for v in a.values())
+    # plan: an equi-join on the cell id, no broadcast of the polygon side,
+    # no cartesian product
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
