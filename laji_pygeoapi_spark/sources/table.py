@@ -71,17 +71,26 @@ def write_partitioned(df: DataFrame, root: str, job_id: str,
     sort_key = next((c for c in ("cell_r7", "cell_r5", "lon") if c in manifest_src.columns), None)
     if sort_key:
         out = out.sortWithinPartitions(sort_key)
+    t0 = time.time()
     try:
         (out.write.mode(mode).partitionBy(*part_cols).parquet(os.path.join(root, "data")))
+        write_s = time.time() - t0
         manifest = build_manifest(manifest_src, part_cols)
     finally:
         df.unpersist()
+    total_rows = sum(p["row_count"] for p in manifest)
     manifest_doc = {
         "job_id": job_id,
         "written_at": time.time(),
         "partition_cols": part_cols,
         "partitions": manifest,
-        "total_rows": sum(p["row_count"] for p in manifest),
+        "total_rows": total_rows,
+        # job metrics (north rule: lineage + METRICS per job)
+        "metrics": {
+            "write_wall_s": round(write_s, 3),
+            "rows_per_sec": round(total_rows / write_s, 1) if write_s > 0 else None,
+            "n_partitions": len(manifest),
+        },
     }
     _write_json_atomic(os.path.join(root, "_manifests", f"manifest-{job_id}.json"),
                        manifest_doc)
