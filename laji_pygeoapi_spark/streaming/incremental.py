@@ -64,3 +64,22 @@ def batch_incremental(spark: SparkSession, source: DataFrame, root: str,
     if new_wm is not None:
         store.save_watermark(root, str(new_wm))
     return doc
+
+
+def stream_dedup(events: DataFrame, key_cols=("event_id",),
+                 ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """T2 as a TRUE stream: exactly-once-per-key emission with bounded
+    state via ``dropDuplicatesWithinWatermark`` — re-deliveries of the same
+    key within the watermark horizon are suppressed, and state for keys
+    older than the watermark is evicted (the property a plain
+    ``dropDuplicates`` on a stream lacks: its state grows forever).
+
+    Batch parity: on a bounded, in-order source this equals batch
+    ``dropDuplicates(key_cols)`` (pytest-gated).  At 10^12 events the state
+    store holds only the watermark horizon — the same bounded-state shape
+    as the windowed aggregation path."""
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+        return src.dropDuplicatesWithinWatermark(list(key_cols))
+    return src.dropDuplicates(list(key_cols))

@@ -114,3 +114,26 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
            .orderBy("user_id", "session_start").toPandas())
     assert len(got) > 0
     assert got.equals(exp), (len(got), len(exp))
+
+
+def test_stream_dedup_exactly_once(spark, tmp_path):
+    """T2 streaming dedup: duplicated deliveries collapse to one row per
+    key; equals batch dropDuplicates on the same files."""
+    import pandas as pd
+    from laji_pygeoapi_spark.streaming.incremental import stream_dedup
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+              .select("event_id", "user_id", "ts", "value").limit(500)
+    src = str(tmp_path / "dup_stream")
+    # write the same rows twice (two files = two micro-batch deliveries)
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = stream_dedup(stream)
+    (out.writeStream.format("memory").queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dd"))
+        .trigger(availableNow=True).start().awaitTermination())
+    got = spark.table("dedup_test")
+    n_batch = stream_dedup(spark.read.parquet(src)).count()
+    assert got.count() == n_batch == 500
+    assert got.select("event_id").distinct().count() == 500
