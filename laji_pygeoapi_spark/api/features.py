@@ -165,7 +165,9 @@ def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
           sortby: list[tuple[str, str]] | None = None,
           limit: int = DEFAULT_LIMIT, offset: int = 0,
           resulttype: str = "results", skip_guard: bool = False,
-          count_matched: bool = False, today: _dt.date | None = None):
+          count_matched: bool = False, today: _dt.date | None = None,
+          select_properties: list[str] | None = None,
+          skip_geometry: bool = False):
     """The /collections/{id}/items query -> (page DataFrame, number_matched).
 
     datetime_range: the reference's full time grammar (see
@@ -216,6 +218,23 @@ def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
     page = filtered.orderBy(*order).offset(offset).limit(limit)
     if "_intersects" in page.columns:
         page = page.drop("_intersects")
+    if select_properties is not None:
+        # pygeoapi `properties=` SELECTION (not filtering): keep the id,
+        # the requested property columns, and — unless skip_geometry —
+        # the geometry source columns.  The narrowed projection reaches
+        # the parquet scan (ReadSchema pruning), so a 2-column page
+        # request reads 2 columns, not the whole table.
+        unknown = [c for c in select_properties if c not in df.columns]
+        if unknown:
+            raise QueryError(f"unknown properties: {unknown}")
+        keep = [_id_column(df)] + [c for c in select_properties]
+        if not skip_geometry:
+            keep += [c for c in ("lon", "lat", "geometry") if c in page.columns]
+        seen: list[str] = []
+        for c in keep:
+            if c in page.columns and c not in seen:
+                seen.append(c)
+        page = page.select(*seen)
     return page, number_matched
 
 
@@ -268,7 +287,8 @@ def get_feature(df: DataFrame, identifier: str) -> DataFrame:
 
 
 def to_geojson(df: DataFrame, id_col: str = "Paikallinen_tunniste",
-               crs: str = "CRS84", representation: str = "center") -> DataFrame:
+               crs: str = "CRS84", representation: str = "center",
+               skip_geometry: bool = False) -> DataFrame:
     """S10 — GeoJSON feature strings.
 
     representation='center' (the reference's CENTER_POINT default,
@@ -280,7 +300,9 @@ def to_geojson(df: DataFrame, id_col: str = "Paikallinen_tunniste",
     stored geometry decoded from WKB to GeoJSON coordinates in an Arrow
     pandas UDF (lines/polygons/multis round-trip intact).
     """
-    if representation == "original" and "geometry" in df.columns:
+    if skip_geometry:
+        geometry_json = F.lit("null")  # RFC 7946: unlocated feature
+    elif representation == "original" and "geometry" in df.columns:
         geometry_json = _geojson_geometry_udf(F.col("geometry"))
     else:
         if crs == "EPSG:3067":

@@ -253,3 +253,36 @@ def test_unknown_filter_passthrough_vs_suggestion():
     assert "Sukupuoli" in str(e.value)
     out = API.convert_property_filters([("someCustomApiFilter", "x")])
     assert out == [("someCustomApiFilter", "x")]
+
+
+def test_select_properties_and_skip_geometry(spark, occ):
+    """pygeoapi provider capabilities: properties SELECTION narrows the
+    page (and the scan: ReadSchema pruning), skip_geometry emits
+    geometry:null features."""
+    page, _ = API.items(occ, limit=3, select_properties=["Sukupuoli"])
+    assert set(page.columns) == {"Paikallinen_tunniste", "Sukupuoli",
+                                 "lon", "lat", "geometry"}
+    with pytest.raises(API.QueryError, match="unknown properties"):
+        API.items(occ, limit=3, select_properties=["NotAColumn"])
+    page2, _ = API.items(occ, limit=3, select_properties=["Sukupuoli"],
+                         skip_geometry=True)
+    assert set(page2.columns) == {"Paikallinen_tunniste", "Sukupuoli"}
+    gj = API.to_geojson(page2, skip_geometry=True).collect()
+    feat = json.loads(gj[0]["feature_json"])
+    assert feat["geometry"] is None
+    assert set(feat["properties"]) == {"Paikallinen_tunniste", "Sukupuoli"}
+
+
+def test_select_properties_prunes_scan(spark, tmp_path):
+    """The narrowed projection must reach the parquet scan (ReadSchema)."""
+    import pandas as pd
+    pdf = pd.DataFrame({"doc_id": range(50), "a": range(50), "b": range(50),
+                        "c": [str(i) for i in range(50)]})
+    path = str(tmp_path / "t")
+    spark.createDataFrame(pdf).write.parquet(path)
+    df = spark.read.parquet(path)
+    page, _ = API.items(df, limit=5, select_properties=["a"], skip_geometry=True)
+    plan = page._jdf.queryExecution().executedPlan().toString()
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "a:" in rs and "doc_id:" in rs
+    assert "b:" not in rs and "c:" not in rs
