@@ -439,12 +439,161 @@ def _fallback_hull(polys):
     return ("Polygon", [wkb._close_ring(convex_hull(pts))])
 
 
+_ON_EPS = 1e-9
+
+
+def _pt_on_seg(p, a, b) -> bool:
+    """p lies on segment ab (within _ON_EPS), endpoints inclusive."""
+    d = b - a
+    ll = float(d @ d)
+    if ll < _ON_EPS ** 2:
+        return bool(np.hypot(*(p - a)) <= _ON_EPS)
+    t = float((p - a) @ d) / ll
+    if t < -_ON_EPS or t > 1 + _ON_EPS:
+        return False
+    proj = a + np.clip(t, 0.0, 1.0) * d
+    return bool(np.hypot(*(p - proj)) <= _ON_EPS)
+
+
+def _split_edges(poly_pts: np.ndarray, other_pts: np.ndarray):
+    """Directed sub-edges of poly after splitting at (a) other's vertices
+    lying ON an edge (collinear/shared-edge contacts) and (b) proper
+    edge-edge intersection points — the full segment arrangement, so the
+    boundary trace is exact for crossing AND grazing configurations."""
+    out = []
+    n = len(poly_pts)
+    m = len(other_pts)
+    for i in range(n):
+        a, b = poly_pts[i], poly_pts[(i + 1) % n]
+        d = b - a
+        ll = float(d @ d)
+        cuts = [0.0, 1.0]
+        if ll > 0:
+            for q in other_pts:
+                if _pt_on_seg(q, a, b):
+                    t = float((q - a) @ d) / ll
+                    if _ON_EPS < t < 1 - _ON_EPS:
+                        cuts.append(t)
+            for j in range(m):
+                p = _seg_intersection(a, b, other_pts[j], other_pts[(j + 1) % m])
+                if p is not None:
+                    t = float((p - a) @ d) / ll
+                    if _ON_EPS < t < 1 - _ON_EPS:
+                        cuts.append(round(t, 12))
+        cuts = sorted(set(cuts))
+        for t0, t1 in zip(cuts[:-1], cuts[1:]):
+            p0, p1 = a + t0 * d, a + t1 * d
+            if np.hypot(*(p1 - p0)) > _ON_EPS:
+                out.append((p0, p1))
+    return out
+
+
+def _boundary_trace_union(a, b):
+    """EXACT union for the no-proper-crossing cases (shared edges, vertex
+    touches, containment, disjoint) via segment-arrangement edge
+    classification — replaces the round-1 convex-hull fallback:
+
+    split both boundaries at the other's on-edge vertices; keep a sub-edge
+    iff its midpoint is not strictly interior to the other polygon, and for
+    sub-edges lying ON the other boundary keep exactly one copy when both
+    boundaries traverse it the same way (interiors on the same side) and
+    drop both when opposite (the fused interior edge); stitch survivors
+    into rings (positive area = shells, negative = holes).
+    """
+    pa = _ensure_ccw(_poly_pts(a))
+    pb = _ensure_ccw(_poly_pts(b))
+    edges = []  # (p0, p1, src)
+    for src, (mine, other, other_poly) in enumerate(
+            [(pa, pb, ("Polygon", [wkb._close_ring(pb)])),
+             (pb, pa, ("Polygon", [wkb._close_ring(pa)]))]):
+        other_subs = _split_edges(other, mine)
+        for p0, p1 in _split_edges(mine, other):
+            m = (p0 + p1) / 2
+            shared_dir = None
+            for q0, q1 in other_subs:
+                if _pt_on_seg(m, q0, q1) and _pt_on_seg(p0, q0, q1) and _pt_on_seg(p1, q0, q1):
+                    shared_dir = 1.0 if float((p1 - p0) @ (q1 - q0)) > 0 else -1.0
+                    break
+            if shared_dir is not None:
+                if shared_dir < 0:
+                    continue          # opposite traversal: interior edge, drop both
+                if src == 1:
+                    continue          # same direction: keep only the copy from a
+                edges.append((p0, p1, src))
+                continue
+            if point_in_polygon(m[0], m[1], other_poly):
+                continue              # strictly interior to the other: drop
+            edges.append((p0, p1, src))
+
+    def kf(p):
+        return (round(float(p[0]), 9), round(float(p[1]), 9))
+
+    adj: dict[tuple, list] = {}
+    for e in edges:
+        adj.setdefault(kf(e[0]), []).append(e)
+    rings = []
+    used = set()
+    for e in edges:
+        if id(e) in used:
+            continue
+        ring = [e[0]]
+        cur = e
+        used.add(id(cur))
+        guard = 0
+        while guard < 10 * len(edges) + 10:
+            guard += 1
+            nxts = [x for x in adj.get(kf(cur[1]), []) if id(x) not in used]
+            if not nxts:
+                break
+            # prefer continuing along the same source boundary (keeps
+            # vertex-touching components as separate rings)
+            same = [x for x in nxts if x[2] == cur[2]]
+            cur = (same or nxts)[0]
+            used.add(id(cur))
+            if kf(cur[0]) == kf(e[0]) and len(ring) >= 2:
+                break
+            ring.append(cur[0])
+            if kf(cur[1]) == kf(e[0]):
+                break
+        if len(ring) >= 3:
+            rings.append(wkb._close_ring(np.vstack(ring)))
+    shells = [r for r in rings if ring_area(r) > _EPS]
+    holes = [r for r in rings if ring_area(r) < -_EPS]
+    if not shells:
+        return None
+    if len(shells) == 1:
+        return ("Polygon", [shells[0]] + holes)
+    # attach holes to the shell containing them
+    polys = [[s] for s in shells]
+    for h in holes:
+        cx, cy = h[:-1, 0].mean(), h[:-1, 1].mean()
+        for parts in polys:
+            if point_in_polygon(cx, cy, ("Polygon", [parts[0]])):
+                parts.append(h)
+                break
+    return ("MultiPolygon", polys)
+
+
 def union(a, b):
-    """Union of two simple polygons (no holes)."""
+    """Union of two simple polygons (no holes in inputs).
+
+    Primary path: the exact boundary trace over the full segment
+    arrangement (_boundary_trace_union) — handles proper crossings, shared
+    edges, vertex touches, containment and disjoint uniformly (round-2:
+    replaces the round-1 convex-hull fallback AND the Greiner–Hormann
+    grazing-contact failure modes).  A sanity bound rejects a trace whose
+    area is impossible for a union (fp-degenerate input) and falls back to
+    the GH clipper."""
     pa, pb = _poly_pts(a), _poly_pts(b)
+    area_a = abs(ring_area(wkb._close_ring(pa)))
+    area_b = abs(ring_area(wkb._close_ring(pb)))
+    traced = _boundary_trace_union(a, b)
+    if traced is not None:
+        got = _geom_area(traced)
+        if max(area_a, area_b) - 1e-9 <= got <= area_a + area_b + 1e-9:
+            return traced
     rings = _gh_clip(pa, pb, "union")
     if rings is None:
-        # disjoint or containment
         if points_in_polygon(pa[:1, 0], pa[:1, 1], b)[0]:
             return b
         if points_in_polygon(pb[:1, 0], pb[:1, 1], a)[0]:
@@ -455,6 +604,13 @@ def union(a, b):
         return _fallback_hull([a, b])
     outer = max(rings, key=lambda r: abs(ring_area(wkb._close_ring(r))))
     return ("Polygon", [wkb._close_ring(outer)])
+
+
+def _geom_area(g) -> float:
+    """Signed-area sum of a Polygon/MultiPolygon (holes negative)."""
+    if g[0] == "Polygon":
+        return sum(ring_area(r) for r in g[1])
+    return sum(sum(ring_area(r) for r in rings) for rings in g[1])
 
 
 def difference(a, b):
@@ -476,8 +632,25 @@ def difference(a, b):
     return ("MultiPolygon", [[r] for r in rings])
 
 
+def _polys_touch(rings_a, rings_b) -> bool:
+    """Boundaries touch (vertex on the other's boundary) without interior
+    overlap — the shared-edge / vertex-contact configurations the exact
+    boundary trace can dissolve."""
+    a, b = ("Polygon", rings_a), ("Polygon", rings_b)
+    for rs, other in ((rings_a, b), (rings_b, a)):
+        for p in rs[0][:-1]:
+            if _on_boundary(p, other):
+                return True
+    return False
+
+
 def _union_many(polys):
-    """Iterative pairwise union; convex-hull fallback on clipper failure."""
+    """Iterative pairwise union (exact boundary trace inside ``union``).
+
+    Round-2: shared-edge/touching neighbors now DISSOLVE exactly (shapely
+    unary_union semantics) — round 1 skipped them (no interior overlap) or
+    hull-approximated them.  A MultiPolygon result from ``union`` means the
+    pair is genuinely separate (disjoint or point-touch), not a failure."""
     parts = list(polys)
     changed = True
     guard = 0
@@ -489,13 +662,15 @@ def _union_many(polys):
             cur = parts.pop()
             merged = False
             for i, other in enumerate(out):
-                if _polys_bbox_overlap(cur, other) and _polys_overlap(cur[1], other[1]):
+                if _polys_bbox_overlap(cur, other) and (
+                        _polys_overlap(cur[1], other[1])
+                        or _polys_touch(cur[1], other[1])):
                     try:
                         u = union(cur, other)
                     except Exception:
                         u = _fallback_hull([cur, other])
                     if u[0] == "MultiPolygon":
-                        u = _fallback_hull([cur, other])
+                        continue  # separate components: leave unmerged
                     out[i] = u
                     merged = True
                     changed = True

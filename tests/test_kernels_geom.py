@@ -121,3 +121,30 @@ def test_centroid_and_bounds():
     sq = wkb.polygon([(0, 0), (2, 0), (2, 2), (0, 2)])
     assert wkb.centroid(sq) == pytest.approx((1.0, 1.0))
     assert wkb.bounds(sq) == (0.0, 0.0, 2.0, 2.0)
+
+
+def test_union_exact_shared_edge_cases():
+    """Round-2: exact boundary-trace union replaces the convex-hull
+    fallback — shared edges, partial edges, T-joins, containment, hole
+    creation, and grid dissolves all come out exact."""
+    def sq(x0, y0, s=1.0):
+        return wkb.polygon([(x0, y0), (x0+s, y0), (x0+s, y0+s), (x0, y0+s)])
+    cases = [
+        (geom.union(sq(0, 0), sq(1, 0)), "Polygon", 2.0),           # full edge
+        (geom.union(sq(0, 0), sq(1, 0.5)), "Polygon", 2.0),         # partial edge
+        (geom.union(sq(0, 0), sq(1, 1)), "MultiPolygon", 2.0),      # corner touch
+        (geom.union(sq(0, 0, 3), sq(1, 1, 0.5)), "Polygon", 9.0),   # containment
+        (geom.union(sq(0, 0), sq(0.5, 0.5)), "Polygon", 1.75),      # proper overlap
+        (geom.union(sq(0, 0, 2), sq(2, 0.5, 1)), "Polygon", 5.0),   # T-join
+    ]
+    for u, kind, area in cases:
+        assert u[0] == kind and abs(geom._geom_area(u) - area) < 1e-9, (u[0], geom._geom_area(u))
+    # enclosed-hole creation: C-shape + closing cap -> polygon WITH a hole
+    c_shape = wkb.polygon([(0, 0), (3, 0), (3, 1), (1, 1), (1, 2), (3, 2), (3, 3), (0, 3)])
+    cap = wkb.polygon([(3, 0), (4, 0), (4, 3), (3, 3)])
+    u = geom.union(c_shape, cap)
+    assert u[0] == "Polygon" and len(u[1]) == 2
+    assert abs(geom._geom_area(u) - 10.0) < 1e-9
+    # grid dissolve through _union_many (shapely unary_union semantics)
+    grid = geom._union_many([sq(0, 0), sq(1, 0), sq(0, 1), sq(1, 1)])
+    assert grid[0] == "Polygon" and abs(geom._geom_area(grid) - 4.0) < 1e-9
