@@ -12,10 +12,12 @@ Implements exactly the geometry semantics the reference uses:
   broadcast spatial join that replaces PostGIS GIST lookups
   (reference ``edit_db.py:307-311``).
 
-Boolean ops use a Greiner–Hormann-style clipper for simple polygons with a
-convex-hull fallback for degenerate inputs; divergences from shapely's exact
-semantics are limited to degenerate self-touching inputs and are documented in
-tests.
+Boolean ops (round 2): polygon UNION is an exact boundary trace over the
+full segment arrangement (proper crossings + collinear/shared edges +
+vertex touches + containment + hole creation — regression matrix in
+tests/test_kernels_geom.py); a Greiner–Hormann-style clipper remains for
+intersection/difference.  Raster->vector: exact binary-mask polygonization
+(boundary-edge stitching, GDAL-polygonize analog).
 """
 
 from __future__ import annotations
@@ -886,3 +888,66 @@ def convert_geometry_collection(geom, buffer_distance: float = 0.5):
     if dissolved[0] == "Polygon":
         return ("MultiPolygon", [dissolved[1]]), True
     return dissolved, True
+
+
+# ----------------------------------------------------- raster -> vector
+
+def polygonize_mask(mask: np.ndarray) -> list[np.ndarray]:
+    """Exact binary-mask polygonization (GDAL-polygonize analog): boundary
+    edges between filled and empty pixels, stitched into closed rings
+    (pixel-corner coordinates, x=col, y=row).  Interior edges cancel, so
+    the result is exact for pixel-aligned regions; holes come out with the
+    opposite orientation automatically.
+
+    Vectorized edge extraction (4 array comparisons), Python only for the
+    ring walk over boundary edges — O(perimeter), not O(pixels)."""
+    m = np.asarray(mask, dtype=bool)
+    h, w = m.shape
+    pad = np.zeros((h + 2, w + 2), dtype=bool)
+    pad[1:-1, 1:-1] = m
+    edges: dict[tuple, list] = {}
+
+    def add(p0, p1):
+        edges.setdefault(p0, []).append(p1)
+
+    rs, cs = np.nonzero(m & ~pad[0:-2, 1:-1])      # top neighbor empty
+    for r, c in zip(rs.tolist(), cs.tolist()):
+        add((c + 1, r), (c, r))
+    rs, cs = np.nonzero(m & ~pad[2:, 1:-1])        # bottom neighbor empty
+    for r, c in zip(rs.tolist(), cs.tolist()):
+        add((c, r + 1), (c + 1, r + 1))
+    rs, cs = np.nonzero(m & ~pad[1:-1, 0:-2])      # left neighbor empty
+    for r, c in zip(rs.tolist(), cs.tolist()):
+        add((c, r), (c, r + 1))
+    rs, cs = np.nonzero(m & ~pad[1:-1, 2:])        # right neighbor empty
+    for r, c in zip(rs.tolist(), cs.tolist()):
+        add((c + 1, r + 1), (c + 1, r))
+
+    rings = []
+    while edges:
+        start = next(iter(edges))
+        ring = [start]
+        cur = start
+        while True:
+            nxts = edges.get(cur)
+            if not nxts:
+                break
+            nxt = nxts.pop()
+            if not nxts:
+                del edges[cur]
+            if nxt == start:
+                break
+            ring.append(nxt)
+            cur = nxt
+        if len(ring) >= 4:
+            arr = np.asarray(ring + [ring[0]], dtype=np.float64)
+            # collapse collinear runs (long straight pixel edges -> one segment)
+            keep = [0]
+            for i in range(1, len(arr) - 1):
+                v1 = arr[i] - arr[keep[-1]]
+                v2 = arr[i + 1] - arr[i]
+                if abs(v1[0] * v2[1] - v1[1] * v2[0]) > 1e-12:
+                    keep.append(i)
+            keep.append(len(arr) - 1)
+            rings.append(arr[keep])
+    return rings

@@ -124,3 +124,77 @@ def verify_tiles(tiles_pdf: pd.DataFrame, images_pdf: pd.DataFrame,
                 "pass": (overwritten or p >= min_psnr) and cap == src.loc[img_id, "caption"],
             })
     return pd.DataFrame(rows)
+
+
+# --------------------------------------------------- raster -> vector (M4b)
+
+VECTORIZE_SCHEMA = T.StructType([
+    T.StructField("zoom", T.IntegerType()),
+    T.StructField("x", T.LongType()),
+    T.StructField("y", T.LongType()),
+    T.StructField("poly_idx", T.IntegerType()),
+    T.StructField("area_px", T.DoubleType()),
+    T.StructField("wkb", T.BinaryType()),
+])
+
+
+def vectorize_tiles(tiles: DataFrame, luminance_threshold: float = 8.0,
+                    tile_col: str = "tile_png") -> DataFrame:
+    """Raster -> VECTOR: polygonize the occupied region of each rendered
+    tile back into lon/lat polygons (the GDAL-polygonize analog closing the
+    north rule's raster<->vector loop).
+
+    Per tile (mapInPandas): decode PNG -> luminance mask -> exact binary
+    polygonization (kernels.geom.polygonize_mask, boundary-edge stitching)
+    -> pixel corners mapped through the exact inverse WebMercator of this
+    tile row -> WKB polygons (holes follow ring orientation).  One output
+    row per outer ring; embarrassingly parallel over tiles."""
+    from collections.abc import Iterator
+
+    from ..kernels import geom as G
+    from ..kernels import wkb as W
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("zoom", "x", "y", "poly_idx", "area_px", "wkb")}
+            for _, row in pdf.iterrows():
+                blob = row[tile_col]
+                if blob is None:
+                    continue
+                img = codec.decode(bytes(blob))
+                lum = img.astype(np.float64).mean(axis=2)
+                mask = lum > luminance_threshold
+                if not mask.any():
+                    continue
+                z, tx, ty = int(row["zoom"]), int(row["x"]), int(row["y"])
+                n = float(1 << z)
+                size = float(mask.shape[0])
+
+                def to_lonlat(ring: np.ndarray) -> np.ndarray:
+                    lon = (tx + ring[:, 0] / size) / n * 360.0 - 180.0
+                    yy = (ty + ring[:, 1] / size) / n
+                    lat = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * yy))))
+                    return np.stack([lon, lat], axis=1)
+
+                rings = G.polygonize_mask(mask)
+                shells = [(abs(G.ring_area(r)), r) for r in rings if G.ring_area(r) < 0]
+                holes = [r for r in rings if G.ring_area(r) > 0]
+                # pixel y grows downward, so shells come out negative; after
+                # the lon/lat flip they are CCW
+                for k, (apx, shell) in enumerate(sorted(shells, reverse=True,
+                                                        key=lambda t: t[0])):
+                    shell_ll = to_lonlat(shell)
+                    my_holes = []
+                    for h in holes:
+                        cx, cy = h[:-1, 0].mean(), h[:-1, 1].mean()
+                        if G.point_in_polygon(cx, cy, ("Polygon", [shell])):
+                            my_holes.append(to_lonlat(h))
+                    out["zoom"].append(z)
+                    out["x"].append(tx)
+                    out["y"].append(ty)
+                    out["poly_idx"].append(k)
+                    out["area_px"].append(apx)
+                    out["wkb"].append(W.dumps(("Polygon", [shell_ll] + my_holes)))
+            yield pd.DataFrame(out)
+
+    return tiles.select("zoom", "x", "y", tile_col).mapInPandas(run, schema=VECTORIZE_SCHEMA)

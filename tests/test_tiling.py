@@ -73,3 +73,34 @@ def test_image_pipeline_assignments(spark):
     assert (joined["tile_x"].to_numpy() == tx).all()
     assert (joined["cell_r7"].to_numpy()
             == C.hex_cell(joined["lon"].to_numpy(), joined["lat"].to_numpy(), 7)).all()
+
+
+def test_vectorize_tiles_roundtrip(spark):
+    """Raster->vector closes the loop: polygonized tile regions cover the
+    pixels where images were placed, with exact pixel areas."""
+    import numpy as np
+    import pandas as pd
+    from laji_pygeoapi_spark.kernels import codec, geom as G, wkb as W
+    from laji_pygeoapi_spark.operators.tiling import vectorize_tiles
+    # synthetic tile: black background + two bright rectangles + a donut
+    img = np.zeros((256, 256, 3), dtype=np.uint8)
+    img[40:80, 30:90] = 200            # 40x60 rect
+    img[150:170, 200:220] = 180        # 20x20 rect
+    img[100:140, 100:140] = 220        # donut outer
+    img[110:130, 110:130] = 0          #   hole
+    pdf = pd.DataFrame({"zoom": [8], "x": [140], "y": [70],
+                        "tile_png": [codec.encode(img, "png")]})
+    out = vectorize_tiles(spark.createDataFrame(pdf)).toPandas()
+    areas = sorted(out["area_px"])
+    assert areas == [400.0, 1600.0, 2400.0]
+    donut = out[out["area_px"] == 1600.0].iloc[0]
+    g = W.loads(bytes(donut["wkb"]))
+    assert g[0] == "Polygon" and len(g[1]) == 2   # shell + hole
+    # every polygon's lon/lat shell ring is CCW and inside the tile bounds
+    from laji_pygeoapi_spark.kernels.cells import tile_bounds
+    wbd, sbd, ebd, nbd = tile_bounds(8, 140, 70)
+    for _, r in out.iterrows():
+        shell = W.loads(bytes(r["wkb"]))[1][0]
+        assert G.ring_area(shell) > 0             # CCW after the y flip
+        assert shell[:, 0].min() >= wbd - 1e-9 and shell[:, 0].max() <= ebd + 1e-9
+        assert shell[:, 1].min() >= sbd - 1e-9 and shell[:, 1].max() <= nbd + 1e-9
