@@ -266,6 +266,15 @@ def _apply_intersects(df: DataFrame, polygon_wkb: bytes) -> DataFrame:
     if "env_minx" in df.columns:
         env_ok = env_ok | ((F.col("env_maxx") >= gx0) & (F.col("env_minx") <= gx1)
                            & (F.col("env_maxy") >= gy0) & (F.col("env_miny") <= gy1))
+    if "cell_prefix" in df.columns and "env_minx" not in df.columns:
+        # polygon-shaped partition cover (hex_polyfill: cell centers inside
+        # or within one hex of the boundary — complete for point members):
+        # an intersects query over the store prunes partitions before IO,
+        # like the bbox path, but on the polygon's actual shape
+        from ..kernels import cells as C
+        from ..operators.spatial import PARTITION_RES
+        cover = C.hex_polyfill(geom, PARTITION_RES)
+        env_ok = F.col("cell_prefix").isin([int(c) for c in cover]) & env_ok
     return df.withColumn(
         "_intersects",
         F.when(env_ok, _pip(F.col("lon"), F.col("lat"))).otherwise(F.lit(False)))

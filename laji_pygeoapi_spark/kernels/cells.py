@@ -3,11 +3,11 @@
 The north rule asks for H3 (res 5-9) + S2 cell encoding, k-ring kNN expansion
 and raster tile keys.  The h3 library is not available in this container, so:
 
-* ``hexcell`` — a multi-resolution pointy-top hexagonal grid over lon/lat with
-  aperture-7 area scaling per resolution (like H3), axial-coordinate cell ids
-  packed into int64, exact k-ring neighborhoods, and approximate parent/child
-  hierarchy (center-containment, the same "not exactly nested" property real
-  H3 has).  It is an H3 *analog*: identical API surface and asymptotics,
+* ``hexcell`` — a multi-resolution pointy-top hexagonal grid over lon/lat
+  with TRUE aperture-7 nesting (per-resolution lattice rotation, exactly 7
+  child centers per parent — see _ALPHA7), axial-coordinate cell ids packed
+  into int64, exact k-ring neighborhoods, bbox covers and polygon polyfill.
+  It is an H3 *analog*: identical API surface, semantics and asymptotics,
   different bit layout (documented, deterministic).
 * ``s2`` functions — a faithful S2 cell id implementation from the published
   S2 geometry spec (cube-face projection + Hilbert curve), levels 0-30.
@@ -325,3 +325,34 @@ def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     dlat = lat2 - lat1
     h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
     return 2.0 * EARTH_RADIUS_M * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+
+
+def hex_polyfill(geom, res: int) -> np.ndarray:
+    """Cells whose center lies in (or within one hex of) the polygon — the
+    H3 polyfill analog.  Starts from the bbox cover, keeps cells whose
+    center is inside the geometry or within one hex size of its boundary
+    (conservative: a cover for pruning must not under-select)."""
+    from . import geom as G
+    from . import wkb as W
+    minx, miny, maxx, maxy = W.bounds(geom)
+    cand = hex_cells_in_bbox(minx, miny, maxx, maxy, res)
+    if len(cand) == 0:
+        return cand
+    lon, lat = hex_center(cand)
+    inside = G.points_in_polygon(lon, lat, geom)
+    size = float(_hex_size(res))
+    near = np.zeros(len(cand), dtype=bool)
+    rings = geom[1] if geom[0] == "Polygon" else [r for rr in geom[1] for r in rr]
+    for ring in rings:
+        a = ring[:-1]
+        b = ring[1:]
+        d = b - a
+        ll = (d * d).sum(axis=1)
+        ll[ll == 0] = 1.0
+        # distance from every candidate center to every boundary segment
+        w = lon[:, None] - a[None, :, 0], lat[:, None] - a[None, :, 1]
+        t = np.clip((w[0] * d[None, :, 0] + w[1] * d[None, :, 1]) / ll[None, :], 0.0, 1.0)
+        dx = w[0] - t * d[None, :, 0]
+        dy = w[1] - t * d[None, :, 1]
+        near |= ((dx * dx + dy * dy).min(axis=1) <= size * size)
+    return cand[inside | near]

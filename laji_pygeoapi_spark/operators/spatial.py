@@ -217,16 +217,18 @@ def pip_join_distributed(points: DataFrame, polygons: DataFrame,
     from ..kernels import wkb as W
 
     @pandas_udf(T.ArrayType(T.LongType()))
-    def cover_cells(minx: pd.Series, miny: pd.Series,
-                    maxx: pd.Series, maxy: pd.Series) -> pd.Series:
+    def cover_cells(wkbs: pd.Series) -> pd.Series:
+        # polygon-shaped cover (hex_polyfill), not just the envelope:
+        # ~half the candidate pairs for wedge/sliver polygons
         out = []
-        for a, b, c, d in zip(minx, miny, maxx, maxy):
-            out.append([int(x) for x in C.hex_cells_in_bbox(a, b, c, d, cover_res)])
+        for blob in wkbs:
+            g = W.loads(bytes(blob))
+            out.append([int(x) for x in C.hex_polyfill(g, cover_res)])
         return pd.Series(out)
 
     polys = polygons.select(
         F.col(poly_id).alias("_pid"), F.col(wkb_col).alias("_wkb"),
-        F.explode(cover_cells("minx", "miny", "maxx", "maxy")).alias("_cell"))
+        F.explode(cover_cells(F.col(wkb_col))).alias("_cell"))
     pts = points.withColumn("_cell", hex_cell_udf(cover_res)(F.col(lon), F.col(lat)))
     cand = pts.join(polys, "_cell")
 

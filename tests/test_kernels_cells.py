@@ -136,3 +136,20 @@ def test_hex_aperture7_exact_seven_children():
         # the center child is exactly aligned with the parent center
         slon, slat = cells.hex_center(seed_child)
         assert np.allclose(slon, plon, atol=1e-9) and np.allclose(slat, plat, atol=1e-9)
+
+
+def test_hex_polyfill_complete_and_tighter():
+    """Polyfill covers every interior point's cell and beats the bbox cover
+    on a wedge polygon."""
+    import numpy as np
+    from laji_pygeoapi_spark.kernels import geom as G, wkb as W
+    tri = W.polygon([(21.0, 59.6), (29.0, 59.6), (25.0, 63.5)])
+    full = cells.hex_cells_in_bbox(21.0, 59.6, 29.0, 63.5, 4)
+    fill = cells.hex_polyfill(tri, 4)
+    assert len(fill) < 0.7 * len(full)
+    rng = np.random.RandomState(0)
+    xs = rng.uniform(21, 29, 2000)
+    ys = rng.uniform(59.6, 63.5, 2000)
+    inside = G.points_in_polygon(xs, ys, tri)
+    cc = cells.hex_cell(xs[inside], ys[inside], 4)
+    assert np.isin(cc, fill).all()
