@@ -191,6 +191,55 @@ def save_watermark(root: str, value: str, name: str = "last_update") -> None:
     _write_json_atomic(path, {"name": name, "value": value})
 
 
+# ------------------------------------------------------------ compaction
+
+def compact_store(spark: SparkSession, root: str, job_id: str,
+                  max_files_per_partition: int = 1,
+                  partition_cols=PARTITION_COLS) -> dict:
+    """Small-file compaction — the maintenance job a streaming-ingested
+    store needs (availableNow appends one file set per micro-batch; at
+    10^12 rows the file count, not the byte count, kills scan planning).
+
+    Rewrites each physical partition down to ``max_files_per_partition``
+    files via an atomic directory swap (write to ``data.compact``, verify,
+    ``os.replace``), then records a manifest for the whole compacted table.
+    Correctness is checked BEFORE the swap with the same order-invariant
+    xor checksum the lineage manifests use: compaction must preserve every
+    row exactly, and the checksum proves it without a sort."""
+    import shutil
+    data_dir = os.path.join(root, "data")
+    tmp_dir = os.path.join(root, "data.compact")
+    old_dir = os.path.join(root, f"data.pre-compact-{job_id}")
+    df = spark.read.parquet(data_dir)
+    part_cols = [c for c in partition_cols if c in df.columns]
+    before = (build_manifest(df, part_cols) if part_cols
+              else build_manifest(df, []))
+    (df.repartition(max_files_per_partition, *[F.col(c) for c in part_cols])
+       .write.mode("overwrite").partitionBy(*part_cols).parquet(tmp_dir))
+    after_df = spark.read.parquet(tmp_dir)
+    after = build_manifest(after_df, part_cols)
+
+    def keyed(rows):
+        return {tuple(r[c] for c in part_cols): (r["row_count"], r["checksum"])
+                for r in rows}
+    if keyed(before) != keyed(after):
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        raise RuntimeError("compaction checksum mismatch — store left untouched")
+    os.replace(data_dir, old_dir)
+    os.replace(tmp_dir, data_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    doc = {
+        "job_id": job_id, "written_at": time.time(),
+        "partition_cols": part_cols, "partitions": after,
+        "total_rows": sum(p["row_count"] for p in after),
+        "metrics": {"kind": "compaction",
+                    "n_partitions": len(after),
+                    "max_files_per_partition": max_files_per_partition},
+    }
+    _write_json_atomic(os.path.join(root, "_manifests", f"manifest-{job_id}.json"), doc)
+    return doc
+
+
 # ------------------------------------------------------------ manifest counts
 
 def count_from_manifest(root: str, **partition_filters) -> int | None:

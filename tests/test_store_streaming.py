@@ -120,3 +120,24 @@ def test_checkpoint_write_is_atomic(root):
     after = store.load_checkpoint(root, "job")
     assert [s["step"] for s in after["completed_steps"]] == ["step1", "step2"]
     assert before != open(path).read()
+
+
+def test_compact_store_preserves_rows_and_shrinks_files(spark, root):
+    import glob
+    imgs = fixtures.images_df(spark, 600, with_bytes=False)
+    prepared = ING.ingest_fused(imgs).repartition(16)  # force many small files
+    for _ in range(3):                                  # 3 appends = 3x files
+        prepared.write.mode("append").partitionBy("geom_kind", "cell_prefix") \
+                .parquet(root + "/data")
+    before_files = len(glob.glob(root + "/data/**/*.parquet", recursive=True))
+    t = store.read_table(spark, root)
+    n_before = t.count()
+    chk_before = t.agg(F.bit_xor(F.xxhash64(*sorted(t.columns))).alias("c")).first()["c"]
+    doc = store.compact_store(spark, root, "compact1")
+    after_files = len(glob.glob(root + "/data/**/*.parquet", recursive=True))
+    t2 = store.read_table(spark, root)
+    assert t2.count() == n_before == doc["total_rows"]
+    chk_after = t2.agg(F.bit_xor(F.xxhash64(*sorted(t2.columns))).alias("c")).first()["c"]
+    assert chk_after == chk_before          # byte-identical row multiset
+    assert after_files < before_files / 2   # file count collapsed
+    assert doc["metrics"]["kind"] == "compaction"
