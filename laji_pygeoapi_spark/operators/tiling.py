@@ -198,3 +198,51 @@ def vectorize_tiles(tiles: DataFrame, luminance_threshold: float = 8.0,
             yield pd.DataFrame(out)
 
     return tiles.select("zoom", "x", "y", tile_col).mapInPandas(run, schema=VECTORIZE_SCHEMA)
+
+
+# ------------------------------------------------------- pyramid rollup (M4c)
+
+PYRAMID_SCHEMA = T.StructType([
+    T.StructField("zoom", T.IntegerType()),
+    T.StructField("x", T.LongType()),
+    T.StructField("y", T.LongType()),
+    T.StructField("n_children", T.IntegerType()),
+    T.StructField("tile_png", T.BinaryType()),
+])
+
+
+def build_pyramid_level(tiles: DataFrame, tile_col: str = "tile_png") -> DataFrame:
+    """Zoom N -> N-1 rollup: each parent tile is the 2x2 mosaic of its
+    children downsampled by exact 2x2-block mean — the raster analog of a
+    hypertable rollup, and the way real tile pipelines build pyramids
+    (render the max zoom once, aggregate upward).
+
+    One shuffle keyed by the parent tile (groupBy + applyInPandas, <= 4
+    rows per group); applying the function level by level yields the whole
+    pyramid in log2(zoom) shuffles."""
+
+    def roll(pdf: pd.DataFrame) -> pd.DataFrame:
+        z = int(pdf["zoom"].iloc[0]) - 1
+        px, py = int(pdf["px"].iloc[0]), int(pdf["py"].iloc[0])
+        canvas = np.zeros((2 * TILE_SIZE, 2 * TILE_SIZE, 3), dtype=np.float64)
+        n = 0
+        for _, row in pdf.iterrows():
+            blob = row[tile_col]
+            if blob is None:
+                continue
+            img = codec.decode(bytes(blob)).astype(np.float64)
+            qx = (int(row["x"]) & 1) * TILE_SIZE
+            qy = (int(row["y"]) & 1) * TILE_SIZE
+            canvas[qy:qy + TILE_SIZE, qx:qx + TILE_SIZE] = img
+            n += 1
+        # exact 2x2 block mean, then round-half-up to uint8 (deterministic)
+        small = canvas.reshape(TILE_SIZE, 2, TILE_SIZE, 2, 3).mean(axis=(1, 3))
+        out = np.floor(small + 0.5).clip(0, 255).astype(np.uint8)
+        return pd.DataFrame({"zoom": [z], "x": [px], "y": [py],
+                             "n_children": [n],
+                             "tile_png": [codec.encode(out, "png")]})
+
+    keyed = (tiles.withColumn("px", (F.col("x") / 2).cast("long"))
+                  .withColumn("py", (F.col("y") / 2).cast("long")))
+    return (keyed.groupBy("zoom", "px", "py")
+                 .applyInPandas(roll, schema=PYRAMID_SCHEMA))

@@ -104,3 +104,34 @@ def test_vectorize_tiles_roundtrip(spark):
         assert G.ring_area(shell) > 0             # CCW after the y flip
         assert shell[:, 0].min() >= wbd - 1e-9 and shell[:, 0].max() <= ebd + 1e-9
         assert shell[:, 1].min() >= sbd - 1e-9 and shell[:, 1].max() <= nbd + 1e-9
+
+
+def test_pyramid_rollup_exact_quadrants(spark):
+    """Zoom rollup: each parent quadrant equals the 2x-downsampled child;
+    missing children leave black quadrants."""
+    import numpy as np
+    import pandas as pd
+    from laji_pygeoapi_spark.kernels import codec
+    from laji_pygeoapi_spark.operators.tiling import build_pyramid_level, TILE_SIZE
+    def solid(rgb):
+        img = np.zeros((TILE_SIZE, TILE_SIZE, 3), dtype=np.uint8)
+        img[:] = rgb
+        return codec.encode(img, "png")
+    rows = [
+        {"zoom": 9, "x": 280, "y": 140, "tile_png": solid((200, 0, 0))},   # TL
+        {"zoom": 9, "x": 281, "y": 140, "tile_png": solid((0, 180, 0))},   # TR
+        {"zoom": 9, "x": 280, "y": 141, "tile_png": solid((0, 0, 160))},   # BL
+        # BR child missing
+        {"zoom": 9, "x": 300, "y": 200, "tile_png": solid((9, 9, 9))},     # other parent
+    ]
+    out = build_pyramid_level(spark.createDataFrame(pd.DataFrame(rows))).toPandas()
+    assert sorted(map(tuple, out[["zoom", "x", "y"]].values.tolist())) == \
+        [(8, 140, 70), (8, 150, 100)]
+    parent = out[(out["x"] == 140)].iloc[0]
+    assert parent["n_children"] == 3
+    img = codec.decode(bytes(parent["tile_png"]))
+    h = TILE_SIZE // 2
+    assert tuple(img[10, 10]) == (200, 0, 0)          # TL quadrant
+    assert tuple(img[10, h + 10]) == (0, 180, 0)      # TR
+    assert tuple(img[h + 10, 10]) == (0, 0, 160)      # BL
+    assert tuple(img[h + 10, h + 10]) == (0, 0, 0)    # missing BR -> black
