@@ -266,7 +266,8 @@ def pip_join_distributed(points: DataFrame, polygons: DataFrame,
 def knn_join(spark: SparkSession, points: DataFrame, queries: pd.DataFrame,
              k: int = 5, res: int = DEFAULT_HEX_RES, ring: int | None = None,
              lon: str = "lon", lat: str = "lat",
-             point_id: str = "image_id", max_ring: int = 64) -> DataFrame:
+             point_id: str = "image_id", max_ring: int = 64,
+             auto_brute_threshold: int = 512) -> DataFrame:
     """J5 — kNN via k-ring expansion + exact haversine re-rank (north rule).
 
     queries: pandas frame [query_id, lon, lat] (small, broadcast side).
@@ -278,7 +279,15 @@ def knn_join(spark: SparkSession, points: DataFrame, queries: pd.DataFrame,
     ``ring=None`` auto-sizes the first ring from global point density so a
     typical query resolves in ONE round: expected candidates per ring =
     density * ring cells; we target 4k with a safety floor of 1.
+
+    Query sets larger than ``auto_brute_threshold`` delegate to
+    :func:`knn_bruteforce_distributed` outright: the per-ring driver round
+    trips amortize poorly against a big broadcastable query side, while the
+    one-shuffle local-top-k scan is insensitive to query count.
     """
+    if len(queries) > auto_brute_threshold:
+        return knn_bruteforce_distributed(spark, points, queries, k=k,
+                                          lon=lon, lat=lat, point_id=point_id)
     pts = points.withColumn("_cell", hex_cell_udf(res)(F.col(lon), F.col(lat)))
     pts = pts.select(point_id, lon, lat, "_cell").cache()
     try:
@@ -339,18 +348,21 @@ def knn_join(spark: SparkSession, points: DataFrame, queries: pd.DataFrame,
             unsafe = set(per_q.index[per_q["max"] > safe_m])
             last_round = cur_ring >= max_ring
             done_ids = complete - unsafe
+            emit_ring_ids = set(done_ids)
             if last_round and done_ids != set(remaining["query_id"]):
                 # final ring and still-unsafe/incomplete queries: fall back
                 # to the exact distributed scan instead of silently
-                # returning a possibly-inexact answer (round-1 ADVICE)
+                # returning a possibly-inexact answer (round-1 ADVICE).
+                # Their partial ring results must NOT also be emitted
+                # (emit_ring_ids stays the ring-safe set).
                 fb_queries = remaining[~remaining["query_id"].isin(done_ids)]
                 fb = knn_bruteforce_distributed(spark, pts, fb_queries, k=k,
                                                 lon=lon, lat=lat, point_id=point_id)
                 results.append(fb.select("query_id", point_id, lon, lat,
                                          "dist_m", "rank").toPandas())
                 done_ids = set(remaining["query_id"])
-            if done_ids:
-                results.append(ranked_pdf[ranked_pdf["query_id"].isin(done_ids)])
+            if emit_ring_ids:
+                results.append(ranked_pdf[ranked_pdf["query_id"].isin(emit_ring_ids)])
             remaining = remaining[~remaining["query_id"].isin(done_ids)]
             cur_ring = max_ring if (cur_ring < max_ring <= cur_ring * 2) else cur_ring * 2
         results = [r for r in results if len(r)]
@@ -394,7 +406,6 @@ def knn_bruteforce_distributed(spark: SparkSession, points: DataFrame,
         T.StructField(point_id, points.schema[point_id].dataType),
         T.StructField(lon, T.DoubleType()),
         T.StructField(lat, T.DoubleType()),
-        T.StructField("dist_m", T.DoubleType()),
     ])
 
     def local_topk(batches):
@@ -416,11 +427,20 @@ def knn_bruteforce_distributed(spark: SparkSession, points: DataFrame,
                         heapq.heappush(best[qi], item)
                     elif item > best[qi][0]:
                         heapq.heapreplace(best[qi], item)
-        rows = [(str(q_ids[qi]), pid, plon, plat, -negd)
-                for qi, heap in best.items() for negd, pid, plon, plat in heap]
-        yield pd.DataFrame(rows, columns=["query_id", point_id, lon, lat, "dist_m"])
+        rows = [(str(q_ids[qi]), pid, plon, plat)
+                for qi, heap in best.items() for _negd, pid, plon, plat in heap]
+        yield pd.DataFrame(rows, columns=["query_id", point_id, lon, lat])
 
     cand = points.select(point_id, lon, lat).mapInPandas(local_topk, schema=out_t)
+    # final distance + ranking run JVM-side with the SAME haversine
+    # expression the k-ring path uses: numpy selected the per-partition
+    # candidates, but cross-path rank determinism (near-tie fp) requires
+    # one distance implementation at the ranking step
+    qdf = spark.createDataFrame(pd.DataFrame({
+        "query_id": [str(x) for x in q_ids], "q_lon": q_lon, "q_lat": q_lat}))
+    cand = (cand.join(F.broadcast(qdf), "query_id")
+                .withColumn("dist_m", haversine_expr("q_lon", "q_lat", lon, lat))
+                .drop("q_lon", "q_lat"))
     w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col(point_id).asc())
     return (cand.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k))

@@ -166,3 +166,20 @@ def test_pip_join_distributed_matches_broadcast(spark):
     # no cartesian product
     plan = dist._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_knn_auto_brute_delegation(spark):
+    """Large query sets bypass the ring loop: results equal the k-ring path
+    run with delegation disabled."""
+    import pandas as pd
+    from laji_pygeoapi_spark.sources import fixtures
+    pts = fixtures.images_df(spark, 300, with_bytes=False)
+    rng = np.random.RandomState(4)
+    q = pd.DataFrame({"query_id": [f"q{i}" for i in range(20)],
+                      "lon": rng.uniform(20, 30, 20),
+                      "lat": rng.uniform(60, 69, 20)})
+    a = SP.knn_join(spark, pts, q, k=3, auto_brute_threshold=5).toPandas()
+    b = SP.knn_join(spark, pts, q, k=3, auto_brute_threshold=10**6).toPandas()
+    ka = sorted(map(tuple, a[["query_id", "image_id", "rank"]].values.tolist()))
+    kb = sorted(map(tuple, b[["query_id", "image_id", "rank"]].values.tolist()))
+    assert ka == kb
