@@ -491,16 +491,24 @@ def _split_edges(poly_pts: np.ndarray, other_pts: np.ndarray):
 
 
 def _boundary_trace_union(a, b):
-    """EXACT union for the no-proper-crossing cases (shared edges, vertex
-    touches, containment, disjoint) via segment-arrangement edge
-    classification — replaces the round-1 convex-hull fallback:
+    return _boundary_trace_op(a, b, "union")
 
-    split both boundaries at the other's on-edge vertices; keep a sub-edge
-    iff its midpoint is not strictly interior to the other polygon, and for
-    sub-edges lying ON the other boundary keep exactly one copy when both
-    boundaries traverse it the same way (interiors on the same side) and
-    drop both when opposite (the fused interior edge); stitch survivors
-    into rings (positive area = shells, negative = holes).
+
+def _boundary_trace_op(a, b, op: str):
+    """EXACT boolean op over the full segment arrangement (round 2) —
+    handles proper crossings, shared edges, vertex touches, containment and
+    disjoint uniformly, where Greiner–Hormann mis-handles grazing contact:
+
+    split both boundaries at intersections and on-edge vertices, classify
+    every sub-edge by its midpoint and by shared-segment traversal
+    direction, stitch survivors into rings (positive area = shells,
+    negative = holes).  Keep rules (CCW simple inputs):
+
+    * union:       edges NOT strictly inside the other; shared same-dir
+                   keep one copy, shared opposite-dir drop both;
+    * difference:  A-edges NOT strictly inside B (shared opposite-dir keep
+                   the A copy, same-dir drop), B-edges strictly inside A
+                   REVERSED (they bound the removed region).
     """
     pa = _ensure_ccw(_poly_pts(a))
     pb = _ensure_ccw(_poly_pts(b))
@@ -516,16 +524,32 @@ def _boundary_trace_union(a, b):
                 if _pt_on_seg(m, q0, q1) and _pt_on_seg(p0, q0, q1) and _pt_on_seg(p1, q0, q1):
                     shared_dir = 1.0 if float((p1 - p0) @ (q1 - q0)) > 0 else -1.0
                     break
-            if shared_dir is not None:
-                if shared_dir < 0:
-                    continue          # opposite traversal: interior edge, drop both
-                if src == 1:
-                    continue          # same direction: keep only the copy from a
+            inside = (shared_dir is None
+                      and point_in_polygon(m[0], m[1], other_poly))
+            if op == "union":
+                if shared_dir is not None:
+                    if shared_dir < 0 or src == 1:
+                        continue      # opposite: interior; same-dir: one copy
+                    edges.append((p0, p1, src))
+                    continue
+                if inside:
+                    continue
                 edges.append((p0, p1, src))
-                continue
-            if point_in_polygon(m[0], m[1], other_poly):
-                continue              # strictly interior to the other: drop
-            edges.append((p0, p1, src))
+            else:  # difference a - b
+                if src == 0:
+                    if shared_dir is not None:
+                        if shared_dir > 0:
+                            continue  # same-dir shared: removed with B
+                        edges.append((p0, p1, src))
+                        continue
+                    if inside:
+                        continue      # inside B: removed
+                    edges.append((p0, p1, src))
+                else:
+                    if shared_dir is not None:
+                        continue      # B edge on A's boundary: not interior
+                    if inside:
+                        edges.append((p1, p0, src))  # reversed: hole/cut wall
 
     def kf(p):
         return (round(float(p[0]), 9), round(float(p[1]), 9))
@@ -616,8 +640,18 @@ def _geom_area(g) -> float:
 
 
 def difference(a, b):
-    """a minus b for simple polygons (no holes in inputs)."""
+    """a minus b for simple polygons (no holes in inputs).
+
+    Primary path: the exact boundary trace (see _boundary_trace_op) with an
+    area sanity bound; Greiner–Hormann fallback for fp-degenerate input."""
     pa, pb = _poly_pts(a), _poly_pts(b)
+    area_a = abs(ring_area(wkb._close_ring(pa)))
+    area_b = abs(ring_area(wkb._close_ring(pb)))
+    traced = _boundary_trace_op(a, b, "difference")
+    if traced is not None:
+        got = _geom_area(traced)
+        if area_a - area_b - 1e-9 <= got <= area_a + 1e-9:
+            return traced
     rings = _gh_clip(pa, pb, "difference")
     if rings is None:
         if points_in_polygon(pa[:1, 0], pa[:1, 1], b)[0]:

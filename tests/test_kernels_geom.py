@@ -148,3 +148,26 @@ def test_union_exact_shared_edge_cases():
     # grid dissolve through _union_many (shapely unary_union semantics)
     grid = geom._union_many([sq(0, 0), sq(1, 0), sq(0, 1), sq(1, 1)])
     assert grid[0] == "Polygon" and abs(geom._geom_area(grid) - 4.0) < 1e-9
+
+
+def test_difference_exact_cases():
+    """Round-2: difference via the exact boundary trace — edge-sharing,
+    interior punches and grazing contacts come out exact."""
+    def sq(x0, y0, s=1.0):
+        return wkb.polygon([(x0, y0), (x0+s, y0), (x0+s, y0+s), (x0, y0+s)])
+    assert geom.difference(sq(0, 0), sq(0, 0)) is None              # identical
+    assert geom.difference(sq(1, 1, 0.5), sq(0, 0, 3)) is None      # a inside b
+    cases = [
+        (geom.difference(sq(0, 0), sq(1, 0)), 1.0),        # adjacent neighbor
+        (geom.difference(sq(0, 0, 3), sq(1, 1, 1)), 8.0),  # interior punch -> hole
+        (geom.difference(sq(0, 0), sq(0.5, 0.5)), 0.75),   # proper overlap
+        (geom.difference(sq(0, 0, 2), sq(1, 0.5, 1)), 3.0),  # edge-touching interior bite
+        (geom.difference(sq(0, 0, 2), sq(2, 0.5, 1)), 4.0),  # outside, shared edge
+        (geom.difference(sq(0, 0), sq(5, 5)), 1.0),        # disjoint
+    ]
+    for d, area in cases:
+        assert d is not None and abs(geom._geom_area(d) - area) < 1e-9, \
+            (d and d[0], d and geom._geom_area(d), area)
+    # the interior punch really is shell + hole
+    punched = geom.difference(sq(0, 0, 3), sq(1, 1, 1))
+    assert punched[0] == "Polygon" and len(punched[1]) == 2
