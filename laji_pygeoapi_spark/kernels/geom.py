@@ -526,6 +526,14 @@ def _boundary_trace_op(a, b, op: str):
                     break
             inside = (shared_dir is None
                       and point_in_polygon(m[0], m[1], other_poly))
+            if op == "intersection":
+                if shared_dir is not None:
+                    if shared_dir > 0 and src == 0:
+                        edges.append((p0, p1, src))  # one copy of shared run
+                    continue
+                if inside:
+                    edges.append((p0, p1, src))
+                continue
             if op == "union":
                 if shared_dir is not None:
                     if shared_dir < 0 or src == 1:
@@ -637,6 +645,34 @@ def _geom_area(g) -> float:
     if g[0] == "Polygon":
         return sum(ring_area(r) for r in g[1])
     return sum(sum(ring_area(r) for r in rings) for rings in g[1])
+
+
+def intersection(a, b):
+    """a AND b for simple polygons (no holes in inputs) — exact boundary
+    trace with an area sanity bound, GH fallback (round 2: completes the
+    boolean trio; ST_Intersection analog for clip/overlay workflows)."""
+    pa, pb = _poly_pts(a), _poly_pts(b)
+    cap = min(abs(ring_area(wkb._close_ring(pa))), abs(ring_area(wkb._close_ring(pb))))
+    traced = _boundary_trace_op(a, b, "intersection")
+    if traced is not None and -1e-9 <= _geom_area(traced) <= cap + 1e-9:
+        return traced
+    if traced is None:
+        # no surviving edges: disjoint/touching (empty) unless one polygon
+        # contains the other entirely
+        if points_in_polygon(pa[:1, 0], pa[:1, 1], b)[0]:
+            return a
+        if points_in_polygon(pb[:1, 0], pb[:1, 1], a)[0]:
+            return b
+        return None
+    rings = _gh_clip(pa, pb, "intersection")
+    if not rings:
+        return None
+    rings = [wkb._close_ring(r) for r in rings if abs(ring_area(wkb._close_ring(r))) > _EPS]
+    if not rings:
+        return None
+    if len(rings) == 1:
+        return ("Polygon", [rings[0]])
+    return ("MultiPolygon", [[r] for r in rings])
 
 
 def difference(a, b):

@@ -171,3 +171,21 @@ def test_difference_exact_cases():
     # the interior punch really is shell + hole
     punched = geom.difference(sq(0, 0, 3), sq(1, 1, 1))
     assert punched[0] == "Polygon" and len(punched[1]) == 2
+
+
+def test_intersection_exact_cases():
+    def sq(x0, y0, s=1.0):
+        return wkb.polygon([(x0, y0), (x0+s, y0), (x0+s, y0+s), (x0, y0+s)])
+    assert geom.intersection(sq(0, 0), sq(1, 0)) is None        # edge touch: empty
+    assert geom.intersection(sq(0, 0), sq(5, 5)) is None        # disjoint
+    cases = [
+        (geom.intersection(sq(0, 0), sq(0, 0)), 1.0),           # identical
+        (geom.intersection(sq(0, 0), sq(0.5, 0.5)), 0.25),      # proper overlap
+        (geom.intersection(sq(0, 0, 3), sq(1, 1, 1)), 1.0),     # b inside a
+        (geom.intersection(sq(1, 1, 1), sq(0, 0, 3)), 1.0),     # a inside b
+        (geom.intersection(sq(0, 0, 2), sq(1, -0.5, 1)), 0.5),  # partial crossing
+        (geom.intersection(sq(0, 0, 2), sq(1, 0.5, 1)), 1.0),   # interior bite w/ shared edge
+    ]
+    for g, area in cases:
+        assert g is not None and abs(abs(geom._geom_area(g)) - area) < 1e-9, \
+            (g and g[0], g and geom._geom_area(g), area)
