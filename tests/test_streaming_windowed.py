@@ -39,6 +39,27 @@ def test_phash_neardup(spark):
     assert (out["hamming"] <= 4).all()
 
 
+def test_phash_candidates_bounded_on_degenerate_corpus(spark):
+    """Round-2 verdict fix #2: an all-identical-phash corpus (near-black
+    frames) collapses into one bucket per band; routed through
+    _bucket_pairs the expansion caps at C(256,2) instead of C(n,2), and
+    planted near-dups among the kept ids still surface."""
+    import pandas as pd
+    from laji_pygeoapi_spark.operators import dedup as DD
+    n = 600
+    pdf = pd.DataFrame({"image_id": [f"i{k:04d}" for k in range(n)],
+                        "phash": [0x00FF00FF00FF00FF] * n})
+    cand = DD.phash_candidates(spark.createDataFrame(pdf))
+    cap = 256
+    assert cand.count() == cap * (cap - 1) // 2
+    assert (cand.agg(F.max("hamming")).first()[0]) == 0
+    # recall on a planted pair within a normal corpus is unchanged
+    pdf2 = pd.DataFrame({"image_id": ["a", "b", "c"],
+                         "phash": [100, 100 ^ 0b11, -(1 << 40)]})
+    out = DD.phash_neardup(spark.createDataFrame(pdf2), max_hamming=4).toPandas()
+    assert set(map(tuple, out[["id_a", "id_b"]].values.tolist())) == {("a", "b")}
+
+
 def test_metadata_manifest_file(spark, tmp_path):
     from laji_pygeoapi_spark.functions import transform
     from laji_pygeoapi_spark.operators import maintenance as M
