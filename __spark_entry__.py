@@ -317,6 +317,45 @@ def q_paging(spark, sf_dir):
             .orderBy("doc_id").offset(100).limit(50).select("doc_id", "source"))
 
 
+def q_paging_keyset(spark, sf_dir):
+    """Keyset (after_id cursor) paging through the items() API — the
+    O(limit)-per-page deep-pagination plan (round-2 verdict item #7): the
+    cursor is an ordinary ``id > last`` predicate reaching the scan, no
+    per-page re-sort of the whole filtered set.  Page 3 of the id-ordered
+    feed (cursor = last id of page 2); offset==keyset equivalence is
+    additionally pytest-gated."""
+    from laji_pygeoapi_spark.api import features as API
+    docs = _tbl(spark, sf_dir, "documents")
+    page, _ = API.items(docs, limit=50, after_id=99)
+    return page.select("doc_id", "source")
+
+
+def q_phash_pairs(spark, sf_dir):
+    """Image perceptual-hash near-dup pairs (banded 16-bit chunk blocking
+    through the bounded _bucket_pairs expansion + exact bit_count(xor)
+    Hamming verify <= 8).  The driver tables carry no binary images, so the
+    64-bit phash is SYNTHESIZED deterministically from doc_id with integer
+    arithmetic both engines evaluate identically: four 16-bit chunks from
+    multiplicative hashes of the doc's PAIR KEY (doc_id with the low bit
+    cleared), then the low bit of doc_id XORed in — every (2k, 2k+1) pair
+    is an exact Hamming-1 near-dup the blocking must recover, and the
+    whole operator (banding, bucket cap, verify) has a full SQL twin."""
+    docs = _tbl(spark, sf_dir, "documents")
+    base = F.col("doc_id") - F.col("doc_id") % 2
+    # top chunk is 15-bit (mod 32749) so the packed hash stays < 2^63
+    # (Spark 4 ANSI mode: a 16-bit top chunk * 2^48 overflows long)
+    phash = (
+        (base * F.lit(2654435761)) % 65521
+        + ((base * F.lit(1103515245)) % 65521) * F.lit(65536)
+        + ((base * F.lit(48271)) % 65521) * F.lit(4294967296)
+        + ((base * F.lit(69621)) % 32749) * F.lit(281474976710656)
+    ).bitwiseXOR(F.col("doc_id") % 2)
+    ph = docs.select("doc_id", phash.alias("phash"))
+    out = DD.phash_neardup(ph, max_hamming=8, phash_col="phash",
+                           id_col="doc_id")
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def q_exact_dedup(spark, sf_dir):
     """Exact dedup on normalized text (training-data op)."""
     from pyspark.sql import Window
@@ -349,10 +388,13 @@ def q_minhash_pairs(spark, sf_dir):
     shingle blocking + hash-agg intersection counts).  LSH recall at the
     planted pairs (j >= 0.8 on this corpus, 16 bands x 4 rows) is verified
     equal to the exact answer at sf0.01 AND sf0.1 — a missed pair would fail
-    this gate, which is exactly the property the gate exists to check."""
+    this gate, which is exactly the property the gate exists to check.
+
+    Runs the FUSED form (round-2 verdict item #5): the token projection is
+    computed once and cached, feeding signatures and both verify sides —
+    one corpus scan + tokenize instead of three (~25% faster at sf0.1)."""
     docs = _tbl(spark, sf_dir, "documents")
-    cand = DD.minhash_lsh_candidates(docs, num_perm=64, bands=16)
-    return DD.jaccard_verify(docs, cand, threshold=0.7)
+    return DD.minhash_pairs_verified(docs, num_perm=64, bands=16, threshold=0.7)
 
 
 def q_simhash(spark, sf_dir):
@@ -385,12 +427,21 @@ def q_ann_topk(spark, sf_dir):
     on this corpus, 6 planes + 3 multiprobes achieve recall 1.0 at both
     driver SFs, so the approximate result must EQUAL the exact one — a
     recall regression fails the gate (that is the contract being tested;
-    the probabilistic recall bound is additionally pytest-verified)."""
+    the probabilistic recall bound is additionally pytest-verified).
+
+    Runs over the bucket-PARTITIONED store (built once per sf under .data/,
+    like ivf_topk): the probe filter is partition pruning — the benched
+    query is the 100x-scale serving plan, not the compute-at-query form."""
     emb = _tbl(spark, sf_dir, "embeddings")
     dbl = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
     qv = dbl.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return SIM.ann_topk(dbl.filter(F.col("vec_id") != 0), qv, k=10,
-                        planes=6, multiprobe=3)
+    slug = sf_dir.rstrip("/").split("/")[-1]
+    root = os.path.join(_REPO, ".data", f"ann_store_{slug}")
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        SIM.write_ann_store(dbl.filter(F.col("vec_id") != 0), root,
+                            planes=6, seed=1)
+    return SIM.ann_topk_stored(spark, root, qv, k=10, planes=6, seed=1,
+                               multiprobe=3)
 
 
 def q_centroid_rank(spark, sf_dir):
@@ -545,6 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multivalue_map": q_multivalue_map,
         "toplog": q_toplog,
         "paging": q_paging,
+        "paging_keyset": q_paging_keyset,
+        "phash_pairs": q_phash_pairs,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
@@ -1008,6 +1061,46 @@ def oracle_sql() -> dict[str, str]:
             FROM events ORDER BY ts DESC, event_id DESC LIMIT 20
         """,
         "paging": "SELECT doc_id, source FROM documents ORDER BY doc_id LIMIT 50 OFFSET 100",
+        # keyset page 3 == offset page 3 on the contiguous-id corpus; the
+        # cursor literal (99) is the last id of page 2 in both engines
+        "paging_keyset": ("SELECT doc_id, source FROM documents "
+                          "WHERE doc_id > 99 ORDER BY doc_id LIMIT 50"),
+        # phash_pairs: the ENTIRE banded-blocking near-dup operator in SQL —
+        # synthesized phash, 4x16-bit chunk banding, per-bucket 256 cap
+        # (sorted-id rank, mirroring _bucket_pairs), distinct pair expansion,
+        # exact bit_count(xor) Hamming verify
+        "phash_pairs": """
+            WITH ph AS (
+              SELECT doc_id AS id,
+                     xor(
+                       ((doc_id - (doc_id % 2)) * 2654435761) % 65521
+                     + (((doc_id - (doc_id % 2)) * 1103515245) % 65521) * 65536
+                     + (((doc_id - (doc_id % 2)) * 48271) % 65521) * 4294967296
+                     + (((doc_id - (doc_id % 2)) * 69621) % 32749) * 281474976710656,
+                       doc_id % 2) AS h
+              FROM documents
+            ), banded AS (
+              SELECT id, h, b.band, (h >> (b.band * 16)) & 65535 AS chunk
+              FROM ph, (VALUES (0), (1), (2), (3)) b(band)
+            ), kept AS (
+              SELECT id, band, chunk FROM (
+                SELECT id, band, chunk,
+                       row_number() OVER (PARTITION BY band, chunk ORDER BY id) AS rn
+                FROM banded
+              ) WHERE rn <= 256
+            ), cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM kept a JOIN kept b
+                ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id
+            )
+            SELECT id_a, id_b, hamming FROM (
+              SELECT c.id_a, c.id_b,
+                     CAST(bit_count(xor(pa.h, pb.h)) AS INTEGER) AS hamming
+              FROM cand c
+              JOIN ph pa ON pa.id = c.id_a
+              JOIN ph pb ON pb.id = c.id_b
+            ) WHERE hamming <= 8
+        """,
         "exact_dedup": f"""
             SELECT doc_id FROM (
               SELECT doc_id, row_number() OVER (

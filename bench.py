@@ -36,6 +36,30 @@ HEADLINE = [
 ]
 
 
+def _burn(_):
+    x = 1.0
+    for _i in range(20_000_000):
+        x = x * 1.0000001 + 0.1
+    return x
+
+
+def alu_ceiling(nproc: int, rounds: int = 2) -> float:
+    """In-window pure-ALU aggregate iterations/sec across ``nproc``
+    processes (same burn kernel as tools/bench_scaling.py).  Recorded next
+    to the flagship number so a future reader can separate hypervisor steal
+    from an engine regression without re-running: flagship rows/sec moves
+    with this number when the host is the cause (round-2 verdict item #6).
+    Reference on this VM: ~3-6e8 iters/sec at 32 procs."""
+    from concurrent.futures import ProcessPoolExecutor
+    best = 0.0
+    for _ in range(rounds):
+        t0 = time.time()
+        with ProcessPoolExecutor(nproc) as ex:
+            list(ex.map(_burn, range(nproc)))
+        best = max(best, nproc * 20e6 / (time.time() - t0))
+    return best
+
+
 def _bench_images(spark) -> str:
     """Deterministic points-only images table, generated once and cached."""
     path = os.path.join(DATA_DIR, f"bench_images_{BENCH_IMAGE_ROWS}")
@@ -69,7 +93,9 @@ def flagship_throughput(spark) -> dict:
     result = run_once()
     dt = time.time() - t0
     return {"rows": n, "sec": round(dt, 3), "rows_per_sec": round(n / dt, 1),
-            "groups": int(result[0][1])}
+            "groups": int(result[0][1]),
+            "alu_ceiling": round(alu_ceiling(int(CPUS)), 1),
+            "alu_procs": int(CPUS)}
 
 
 def main() -> None:

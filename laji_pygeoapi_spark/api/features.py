@@ -170,7 +170,8 @@ def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
           resulttype: str = "results", skip_guard: bool = False,
           count_matched: bool = False, today: _dt.date | None = None,
           select_properties: list[str] | None = None,
-          skip_geometry: bool = False):
+          skip_geometry: bool = False,
+          after_id: str | None = None):
     """The /collections/{id}/items query -> (page DataFrame, number_matched).
 
     datetime_range: the reference's full time grammar (see
@@ -186,8 +187,24 @@ def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
     unconditional count doubled every query (round-1 verdict fix #4).
     Partition-aligned counts can instead be answered from manifests
     (``sources.table.count_from_manifest``) without any scan.
+
+    after_id: KEYSET paging (round-2 verdict item #7) — return the next
+    ``limit`` rows with id strictly greater than ``after_id`` in the
+    default id ordering.  offset+limit re-sorts the filtered set per page
+    (bounded today by the MAX_ITEMS guard); the keyset filter instead
+    reaches the scan as an ordinary ``id > last`` predicate (rowgroup
+    min/max pruning on an id-sorted store) and every page is O(limit)
+    regardless of depth — the 100x-scale serving plan.  Mutually exclusive
+    with ``offset`` and custom ``sortby`` (a keyset needs the key it sorts
+    by).
     """
     limit, offset = validate_paging(limit, offset)
+    if after_id is not None:
+        if sortby:
+            raise QueryError("after_id keyset paging uses the default id "
+                             "ordering; sortby is not supported with it")
+        if offset:
+            raise QueryError("after_id and offset are mutually exclusive")
     pred = F.lit(True)
     if bbox is not None:
         cell = "cell_prefix" if "cell_prefix" in df.columns else None
@@ -209,7 +226,11 @@ def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
     guard_applies = offset >= limit and not skip_guard
     number_matched = None
     if resulttype == "hits" or count_matched or guard_applies:
+        # numberMatched is the FILTER total — the keyset cursor is paging
+        # state, not a query predicate, so it is excluded from the count
         number_matched = filtered.count()
+    if after_id is not None:
+        filtered = filtered.filter(F.col(_id_column(df)) > F.lit(after_id))
     if resulttype == "hits":
         return None, number_matched
     if guard_applies and number_matched > MAX_ITEMS:

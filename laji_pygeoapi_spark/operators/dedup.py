@@ -258,7 +258,8 @@ def _bucket_pairs(banded: DataFrame, max_bucket: int = 256) -> DataFrame:
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_perm: int = 64,
-                           bands: int = 16, shingle_n: int = 3) -> DataFrame:
+                           bands: int = 16, shingle_n: int = 3,
+                           toks: DataFrame | None = None) -> DataFrame:
     """Banded LSH: signature split into ``bands`` rows of ``num_perm//bands``;
     docs sharing any band bucket become candidate pairs (id_a < id_b).
 
@@ -266,12 +267,16 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     projection, no strings cross the Arrow boundary) -> numeric signature
     UDF ONCE -> explode(bands) -> hash-shuffle on bucket -> in-bucket pair
     expansion (see _bucket_pairs).
+
+    ``toks``: optional pre-tokenized projection (columns ``id``, ``_toks``)
+    shared with the verify stage — see :func:`minhash_pairs_verified`.
     """
     r = num_perm // bands
     sig = minhash_signature_udf(num_perm, shingle_n=shingle_n)
     # tokens staged into their own projection (lambda re-evaluation trap)
-    toks = _spread_small_input(df.select(
-        F.col(id_col).alias("id"), TX.tokenize(F.col(text_col)).alias("_toks")))
+    if toks is None:
+        toks = _spread_small_input(df.select(
+            F.col(id_col).alias("id"), TX.tokenize(F.col(text_col)).alias("_toks")))
     hashed = (toks.filter(F.size("_toks") > 0)  # token-less docs can't near-dup
                   .select("id", F.transform("_toks", lambda t: F.xxhash64(t)).alias("_th")))
     # no isNotNull filter on sig: the size(_toks) > 0 prefilter already
@@ -303,7 +308,8 @@ def _shingle_hashes(toks, n: int = 3):
 
 def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", shingle_n: int = 3,
-                   threshold: float = 0.7) -> DataFrame:
+                   threshold: float = 0.7,
+                   toks: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (array_intersect/union —
     JVM-side; the candidate set is tiny relative to the corpus).
 
@@ -319,9 +325,15 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     identical to the string form up to a ~2^-64 collision probability, and
     the long-array intersect skips per-shingle string construction (the
     DuckDB oracle computes the string form; the hash gate verifies the
-    equivalence on every run)."""
-    toks = _spread_small_input(df.select(F.col(id_col).alias("_jid"),
-                                         TX.tokenize(F.col(text_col)).alias("_toks")))
+    equivalence on every run).
+
+    ``toks``: optional pre-tokenized projection (columns ``id``, ``_toks``)
+    shared with candidate generation — see :func:`minhash_pairs_verified`."""
+    if toks is None:
+        toks = _spread_small_input(df.select(F.col(id_col).alias("_jid"),
+                                             TX.tokenize(F.col(text_col)).alias("_toks")))
+    else:
+        toks = toks.select(F.col("id").alias("_jid"), "_toks")
     sh = toks.select("_jid",
                      F.array_distinct(_shingle_hashes(F.col("_toks"), shingle_n)).alias("_sh"))
     a = sh.select(F.col("_jid").alias("id_a"), F.col("_sh").alias("sh_a"))
@@ -335,12 +347,32 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
              .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def minhash_pairs_verified(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_perm: int = 64,
+                           bands: int = 16, shingle_n: int = 3,
+                           threshold: float = 0.7) -> DataFrame:
+    """Fused candidates + exact verify (round-2 verdict item #5): the
+    tokenized projection is computed ONCE and persisted (memory/disk,
+    LRU-evicted); the signature stage and both shingle sides of the verify
+    join read the cached blocks instead of re-scanning + re-tokenizing the
+    corpus — one scan and one tokenize pass replace three.
+
+    The cache lives for the query's lifetime (Spark evicts under pressure);
+    a caller running many dedup jobs back-to-back can
+    ``spark.catalog.clearCache()`` between them."""
+    toks = _spread_small_input(df.select(
+        F.col(id_col).alias("id"), TX.tokenize(F.col(text_col)).alias("_toks"))).persist()
+    pairs = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands,
+                                   shingle_n, toks=toks)
+    return jaccard_verify(df, pairs, text_col, id_col, shingle_n, threshold,
+                          toks=toks)
+
+
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.7, **kw) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> Jaccard verify -> drop the
     higher id of each verified pair (union-find-free greedy, deterministic)."""
-    pairs = minhash_lsh_candidates(df, text_col, id_col, **kw)
-    dups = jaccard_verify(df, pairs, text_col, id_col, threshold=threshold)
+    dups = minhash_pairs_verified(df, text_col, id_col, threshold=threshold, **kw)
     to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(to_drop, id_col, "left_anti")
 

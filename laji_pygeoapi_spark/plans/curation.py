@@ -35,10 +35,14 @@ def curate(df: DataFrame, lang: str = "en", min_quality: float = 0.6,
     w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
     exact = (kept.withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") == 1).drop("_rn"))
-    # near-dup drop among survivors (LSH candidates + exact Jaccard verify)
-    pairs = DD.minhash_lsh_candidates(exact, text_col=text_col, id_col=id_col)
-    dups = DD.jaccard_verify(exact, pairs, text_col=text_col, id_col=id_col,
-                             threshold=jaccard_threshold)
+    # The exact-dedup subtree (profile UDF + fingerprint window) feeds the
+    # near-dup stage AND the final anti-join; persisted, it is evaluated
+    # once instead of per consumer (same tokenize-once fusion as
+    # minhash_pairs_verified — together: ~2x at sf0.1).
+    exact = exact.persist()
+    # near-dup drop among survivors (fused LSH candidates + exact verify)
+    dups = DD.minhash_pairs_verified(exact, text_col=text_col, id_col=id_col,
+                                     threshold=jaccard_threshold)
     drop = dups.select(F.col("id_b").alias(id_col)).distinct()
     return (exact.join(drop, id_col, "left_anti")
                  .select(id_col, "n_tokens", "quality"))

@@ -1,0 +1,104 @@
+"""Streaming incremental re-tile — SURVEY §2.10's ingest-side streaming
+joined to the tile materializer (round-2 verdict item #8).
+
+The reference regenerates its PostGIS-backed collections wholesale per ETL
+run (``scripts/main.py`` loops every collection); a tile store at 10^12
+rows cannot do that.  Here each ``availableNow`` micro-batch:
+
+1. appends the ingested rows to the partitioned store (same shared
+   ``ingest_fused`` projection as batch/stream ingest — rows stay
+   bit-identical across paths),
+2. derives the DIRTY tile set — the distinct ``(tile_x_z{zoom},
+   tile_y_z{zoom})`` pairs of exactly the rows in this batch (the tile
+   coordinates are already ingest columns, so detection is a tiny
+   distinct over the micro-batch, no store scan),
+3. re-materializes ONLY those tiles from the full store (broadcast
+   semi-join on the dirty pairs -> ``materialize_tiles``) and rewrites
+   them via dynamic partition overwrite on ``(zoom, x, y)`` — untouched
+   tile partitions are never listed, read, or rewritten,
+4. records a retile lineage manifest (batch id, dirty tiles, row counts)
+   under ``<tiles_root>/_manifests/`` — the resume/audit record.
+
+At scale the cost per batch is O(batch rows) detection + O(rows in dirty
+tiles) rebuild, independent of store size — the streaming analog of the
+reference's per-collection incremental update (``edit_db.py:32-66``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import table as store
+from ..sources.fixtures import IMAGES_SCHEMA
+
+
+def retile_dirty(spark: SparkSession, root: str, tiles_root: str,
+                 dirty: DataFrame, zoom: int = 9, thumb: int = 32,
+                 max_per_tile: int = 64) -> int:
+    """Rebuild exactly the tiles named by ``dirty`` (columns
+    ``tile_x_z{zoom}``, ``tile_y_z{zoom}``) from the full store and
+    dynamic-partition-overwrite them in the tile store.  Returns the
+    number of tiles rewritten."""
+    from ..operators.tiling import materialize_tiles
+    tx, ty = f"tile_x_z{zoom}", f"tile_y_z{zoom}"
+    full = store.read_table(spark, root)
+    affected = full.join(F.broadcast(dirty.select(tx, ty).distinct()), [tx, ty])
+    tiles = materialize_tiles(affected, zoom=zoom, thumb=thumb,
+                              max_per_tile=max_per_tile)
+    (tiles.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("zoom", "x", "y")
+          .parquet(os.path.join(tiles_root, "data")))
+    return dirty.select(tx, ty).distinct().count()
+
+
+def stream_ingest_retile(spark: SparkSession, source_dir: str, root: str,
+                         tiles_root: str, zoom: int = 9, thumb: int = 32,
+                         max_per_tile: int = 64,
+                         checkpoint_dir: str | None = None) -> None:
+    """availableNow streaming ingest + incremental re-tile (see module doc).
+
+    Exactly-once per source file via Spark's file-source checkpoint; the
+    tile rewrite is idempotent (a re-run rebuilds the same tiles from the
+    same store state), so a crash between store append and tile rewrite is
+    healed by re-running with the same checkpoint dir.
+    """
+    from ..plans.ingest import ingest_fused
+    checkpoint_dir = checkpoint_dir or os.path.join(root, "_stream_checkpoint")
+    tx, ty = f"tile_x_z{zoom}", f"tile_y_z{zoom}"
+    stream = (spark.readStream.schema(IMAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 64)
+              .parquet(source_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prepared = ingest_fused(batch_df).persist()
+        try:
+            part_cols = [c for c in store.PARTITION_COLS if c in prepared.columns]
+            (prepared.repartition(*[F.col(c) for c in part_cols])
+                     .write.mode("append").partitionBy(*part_cols)
+                     .parquet(os.path.join(root, "data")))
+            dirty_rows = prepared.select(tx, ty).distinct().collect()
+            if not dirty_rows:
+                return
+            dirty = spark.createDataFrame(
+                [(r[tx], r[ty]) for r in dirty_rows], f"{tx} long, {ty} long")
+            n_tiles = retile_dirty(spark, root, tiles_root, dirty, zoom=zoom,
+                                   thumb=thumb, max_per_tile=max_per_tile)
+            store._write_json_atomic(
+                os.path.join(tiles_root, "_manifests", f"retile-{batch_id}.json"),
+                {"batch_id": batch_id, "zoom": zoom, "written_at": time.time(),
+                 "dirty_tiles": sorted([int(r[tx]), int(r[ty])] for r in dirty_rows),
+                 "n_tiles": n_tiles,
+                 "n_batch_rows": prepared.count()})
+        finally:
+            prepared.unpersist()
+
+    (stream.writeStream.foreachBatch(process_batch)
+           .option("checkpointLocation", checkpoint_dir)
+           .trigger(availableNow=True)
+           .start()
+           .awaitTermination())

@@ -259,6 +259,44 @@ def test_datetime_relative_days(spark, occ):
     assert rel == abs_
 
 
+def test_keyset_paging_equivalent_to_offset(spark, occ):
+    """Round-2 verdict item #7: after_id keyset pages reproduce the
+    offset/limit sequence exactly on the default id ordering — the
+    O(limit)-per-page serving plan for deep pagination."""
+    id_col = "Paikallinen_tunniste"
+    via_offset = []
+    off = 0
+    while True:
+        page, _ = API.items(occ, limit=40, offset=off, skip_guard=True)
+        rows = [r[id_col] for r in page.collect()]
+        if not rows:
+            break
+        via_offset.extend(rows)
+        off += 40
+        if off > 400:
+            break
+    via_keyset = []
+    cursor = None
+    while len(via_keyset) < len(via_offset):
+        page, _ = API.items(occ, limit=40, after_id=cursor)
+        rows = [r[id_col] for r in page.collect()]
+        if not rows:
+            break
+        via_keyset.extend(rows)
+        cursor = rows[-1]
+    assert via_keyset == via_offset
+    # numberMatched stays the filter total, not the remaining tail
+    _, m_first = API.items(occ, limit=40, count_matched=True)
+    _, m_deep = API.items(occ, limit=40, after_id=cursor, count_matched=True)
+    assert m_deep == m_first
+    # mutual-exclusion guards
+    import pytest
+    with pytest.raises(API.QueryError):
+        API.items(occ, limit=10, offset=10, after_id="x")
+    with pytest.raises(API.QueryError):
+        API.items(occ, limit=10, after_id="x", sortby=[("lon", "+")])
+
+
 def test_datetime_mixed_year_and_relative_end(spark, occ):
     """ADVICE round-2: relative-day conversion is PER END — '2005/0' is
     year-2005-start .. today, not today+2005 days on both ends."""

@@ -48,6 +48,18 @@ def test_minhash_finds_planted_neardup(spark, docs):
     assert deduped.count() < docs.count()
 
 
+def test_minhash_fused_equals_two_stage(spark, docs):
+    """Round-2 verdict item #5: the fused (tokenize-once, cached) form
+    returns exactly the two-stage candidates->verify result."""
+    two_stage = DD.jaccard_verify(
+        docs, DD.minhash_lsh_candidates(docs, num_perm=64, bands=32),
+        threshold=0.5)
+    fused = DD.minhash_pairs_verified(docs, num_perm=64, bands=32,
+                                      threshold=0.5)
+    assert sorted(map(tuple, two_stage.collect())) == \
+           sorted(map(tuple, fused.collect()))
+
+
 def test_simhash_near_ids_for_neardups(spark, docs):
     sh = {r["doc_id"]: r["h"] for r in
           docs.select("doc_id", DD.simhash_udf()(TX.tokenize(F.col("text"))).alias("h")).collect()}

@@ -86,6 +86,45 @@ def test_stream_ingest_matches_batch(spark, tmp_path):
     assert store.read_table(spark, root).count() == 200
 
 
+def test_stream_incremental_retile_matches_batch(spark, tmp_path):
+    """Round-2 verdict item #8: streaming ingest rebuilds ONLY the dirty
+    (zoom, x, y) tiles per micro-batch, and after two appended batches the
+    tile store is byte-identical to a full batch re-tile — including tiles
+    whose mosaics merge rows from both batches."""
+    import glob
+    import json
+    from laji_pygeoapi_spark.operators import tiling as TL
+    from laji_pygeoapi_spark.streaming.retile import stream_ingest_retile
+    src = str(tmp_path / "incoming")
+    root = str(tmp_path / "retile_store")
+    troot = str(tmp_path / "tiles")
+    all_imgs = fixtures.images_df(spark, 120, with_bytes=True)
+    a = all_imgs.filter(F.col("image_id") < "IMG_000000080")
+    b = all_imgs.filter(F.col("image_id") >= "IMG_000000080")
+    a.write.mode("overwrite").parquet(src)
+    stream_ingest_retile(spark, src, root, troot, zoom=5)
+    n_first = spark.read.parquet(troot + "/data").count()
+    b.write.mode("append").parquet(src)
+    stream_ingest_retile(spark, src, root, troot, zoom=5)
+    got = spark.read.parquet(troot + "/data")
+    want = TL.materialize_tiles(ING.ingest_fused(all_imgs), zoom=5)
+    cols = ["zoom", "x", "y", "n_images"]
+    gp = (got.select(*[F.col(c).cast("long") for c in cols],
+                     F.xxhash64("tile_png").alias("h"))
+             .orderBy("x", "y").toPandas())
+    wp = (want.select(*[F.col(c).cast("long") for c in cols],
+                      F.xxhash64("tile_png").alias("h"))
+              .orderBy("x", "y").toPandas())
+    assert gp.values.tolist() == wp.values.tolist()
+    assert n_first > 0 and len(gp) >= n_first
+    # lineage manifests: one per micro-batch, naming the dirty tiles
+    docs = [json.load(open(p)) for p in
+            sorted(glob.glob(troot + "/_manifests/retile-*.json"))]
+    assert len(docs) == 2
+    assert all(d["n_tiles"] == len(d["dirty_tiles"]) > 0 for d in docs)
+    assert docs[1]["n_tiles"] <= len(gp)
+
+
 def test_count_from_manifest_partition_aligned(spark, root):
     imgs = fixtures.images_df(spark, 500, with_bytes=False)
     prepared = ING.ingest_fused(imgs)
