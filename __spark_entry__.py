@@ -356,6 +356,33 @@ def q_phash_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding cosine near-dup pairs via multi-table OR-amplified LSH
+    (2 tables x 8 sign-random-projection planes, bounded _bucket_pairs
+    expansion, exact JVM cosine verify >= 0.95).
+
+    The driver embeddings have no natural near-dups (max pair cosine 0.51),
+    so near-dups are PLANTED deterministically: each odd vec_id carries its
+    even partner's vector shifted by +0.01 per element (cosine >= 0.9968 —
+    far from both the 0.95 threshold and any rounding boundary), an
+    expression both engines evaluate identically.  The SQL twin reproduces
+    the derivation, both hyperplane tables, the bucket cap, and the verify,
+    so the WHOLE operator is oracle-checked; cosines are excluded from the
+    output (fp accumulation order differs across engines — pairs are the
+    contract)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    dbl = emb.withColumn("v", F.transform("embedding", lambda x: x.cast("double")))
+    base = dbl.select(F.col("vec_id").alias("bid"), F.col("v").alias("bv"))
+    derived = (dbl.select("vec_id", (F.col("vec_id") - F.col("vec_id") % 2).alias("bid"))
+                  .join(base, "bid")
+                  .select("vec_id",
+                          F.when(F.col("vec_id") % 2 == 0, F.col("bv"))
+                           .otherwise(F.transform("bv", lambda x: x + F.lit(0.01)))
+                           .alias("embedding")))
+    out = DD.embedding_neardup(derived, threshold=0.95, tables=2, planes=8)
+    return out.select("id_a", "id_b")
+
+
 def q_exact_dedup(spark, sf_dir):
     """Exact dedup on normalized text (training-data op)."""
     from pyspark.sql import Window
@@ -598,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paging": q_paging,
         "paging_keyset": q_paging_keyset,
         "phash_pairs": q_phash_pairs,
+        "embedding_neardup": q_embedding_neardup,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
@@ -773,6 +801,55 @@ def oracle_sql() -> dict[str, str]:
         WHERE bucket IN (SELECT b FROM probes)
         ORDER BY cosine DESC, vec_id LIMIT 10
     """
+    # embedding_neardup: the ENTIRE multi-table LSH near-dup operator in SQL
+    # — planted-pair derivation, BOTH hyperplane tables (seeds 1 and 2, the
+    # operator's t+1 convention), per-bucket 256 cap (_bucket_pairs mirror),
+    # distinct pair expansion, exact cosine verify.  Pair ids only in the
+    # output (cross-engine fp accumulation, see q_embedding_neardup).
+    _nd_h = {t: _np.random.RandomState(t + 1).standard_normal((8, 64))
+             for t in range(2)}
+
+    def _nd_plane(t: int, p: int) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in _nd_h[t][p]) + "]::DOUBLE[]"
+
+    def _nd_bucket(col: str, t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({col}, {_nd_plane(t, p)}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)" for p in range(8))
+
+    embedding_neardup_sql = f"""
+        WITH e AS (SELECT vec_id, {_edbl} AS v FROM embeddings),
+        d AS (
+          SELECT e1.vec_id,
+                 CASE WHEN e1.vec_id % 2 = 0 THEN b.v
+                      ELSE list_transform(b.v, x -> x + CAST(0.01 AS DOUBLE)) END AS v
+          FROM e e1 JOIN e b ON b.vec_id = e1.vec_id - (e1.vec_id % 2)
+        ),
+        banded AS (
+          SELECT vec_id, 0 AS band, {_nd_bucket('v', 0)} AS bucket FROM d
+          UNION ALL
+          SELECT vec_id, 1 AS band, {_nd_bucket('v', 1)} AS bucket FROM d
+        ),
+        kept AS (
+          SELECT vec_id, band, bucket FROM (
+            SELECT vec_id, band, bucket,
+                   row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn
+            FROM banded
+          ) WHERE rn <= 256
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM kept a JOIN kept b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN d da ON da.vec_id = c.id_a
+        JOIN d db_ ON db_.vec_id = c.id_b
+        WHERE list_dot_product(da.v, db_.v)
+              / (sqrt(list_dot_product(da.v, da.v))
+                 * sqrt(list_dot_product(db_.v, db_.v))) >= CAST(0.95 AS DOUBLE)
+    """
     geojson_sql = f"""
         WITH {_PTS_CTE}
         SELECT p.doc_id AS fid, 'Feature' AS ftype, 'Point' AS gtype,
@@ -885,6 +962,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": minhash_pairs_sql,
         "tm35fin": tm35fin_sql,
         "ann_topk": ann_topk_sql,
+        "embedding_neardup": embedding_neardup_sql,
         "geojson": geojson_sql,
         "bbox_filter": f"""
             WITH {_PTS_CTE}

@@ -171,7 +171,8 @@ def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
           count_matched: bool = False, today: _dt.date | None = None,
           select_properties: list[str] | None = None,
           skip_geometry: bool = False,
-          after_id: str | None = None):
+          after_id: str | None = None,
+          store_root: str | None = None):
     """The /collections/{id}/items query -> (page DataFrame, number_matched).
 
     datetime_range: the reference's full time grammar (see
@@ -197,6 +198,12 @@ def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
     regardless of depth — the 100x-scale serving plan.  Mutually exclusive
     with ``offset`` and custom ``sortby`` (a keyset needs the key it sorts
     by).
+
+    store_root: when the DataFrame is a manifest-backed store
+    (``sources.table``), unfiltered counts (hits / count_matched with no
+    bbox/intersects/datetime/property filters) are answered from the
+    lineage manifests — zero scan at any table size; filtered counts fall
+    back to a real count automatically.
     """
     limit, offset = validate_paging(limit, offset)
     if after_id is not None:
@@ -227,8 +234,17 @@ def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
     number_matched = None
     if resulttype == "hits" or count_matched or guard_applies:
         # numberMatched is the FILTER total — the keyset cursor is paging
-        # state, not a query predicate, so it is excluded from the count
-        number_matched = filtered.count()
+        # state, not a query predicate, so it is excluded from the count.
+        # Unfiltered counts over a manifest-backed store are answered from
+        # the lineage manifests (zero scan — the collection-level hits
+        # request is pure metadata at any table size).
+        unfiltered = (bbox is None and intersects is None
+                      and not datetime_range and not properties)
+        if store_root is not None and unfiltered:
+            from ..sources.table import count_from_manifest
+            number_matched = count_from_manifest(store_root)
+        if number_matched is None:
+            number_matched = filtered.count()
     if after_id is not None:
         filtered = filtered.filter(F.col(_id_column(df)) > F.lit(after_id))
     if resulttype == "hits":

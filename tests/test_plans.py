@@ -84,3 +84,20 @@ def test_text_profile_stays_jvm_side(spark):
     # the expensive tokenize subexpressions are staged, not inlined ~40x:
     # the plan text stays bounded
     assert plan.count("array_intersect") <= 12
+
+
+def test_benched_ann_ivf_queries_partition_prune(spark):
+    """The DRIVER's ann_topk / ivf_topk queries (not just the operators)
+    must keep serving from their partitioned stores: the executed plan
+    shows PartitionFilters on the probe column — a regression back to the
+    compute-at-query-time form is a scale bug even while oracles stay
+    green."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    for name, col in (("ann_topk", "ann_bucket"), ("ivf_topk", "ivf_list")):
+        df = entry.queries()[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan, name
+        assert col in plan.split("PartitionFilters")[1][:300], name
+        assert df.count() == 10

@@ -144,6 +144,28 @@ def test_count_from_manifest_partition_aligned(spark, root):
     assert store.count_from_manifest(root, image_id="x") is None
 
 
+def test_items_hits_from_manifest_no_scan(spark, root, monkeypatch):
+    """items(store_root=) answers an UNFILTERED hits request from the
+    lineage manifests — proven scan-free by making DataFrame.count raise;
+    a filtered request falls back to a real count."""
+    from pyspark.sql import DataFrame
+    from laji_pygeoapi_spark.api import features as API
+    imgs = fixtures.images_df(spark, 150, with_bytes=False)
+    store.write_partitioned(ING.ingest_fused(imgs), root, "j1")
+    t = store.read_table(spark, root)
+
+    def boom(self):
+        raise AssertionError("scan-count called on manifest-answerable query")
+    monkeypatch.setattr(DataFrame, "count", boom)
+    _, matched = API.items(t, resulttype="hits", store_root=root)
+    assert matched == 150
+    monkeypatch.undo()
+    # a filter disqualifies the manifest path: real count runs and agrees
+    _, m2 = API.items(t, resulttype="hits", store_root=root,
+                      bbox=(24.5, 59.9, 28.5, 62.2))
+    assert 0 < m2 < 150
+
+
 def test_checkpoint_write_is_atomic(root):
     """A crash mid-write can't corrupt checkpoints: writes go to a tmp file
     then os.replace; a pre-existing good checkpoint survives a failed

@@ -69,6 +69,12 @@ if not os.path.exists(os.path.join(src, "_SUCCESS")):
     from laji_pygeoapi_spark.sources import fixtures
     fixtures.images_df(spark, rows, with_bytes=True, partitions=32) \
         .write.mode("overwrite").parquet(src)
+# split the scan fine enough that EVERY parallelism level gets >=4 tasks
+# per core (32 x ~30MB files read at the default 128MB maxPartitionBytes
+# gave exactly 32 tasks: one single wave at local[32], so one straggler
+# set the wall while local[8] load-balanced over 4 waves — that measured
+# task granularity, not scaling)
+spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
 img = spark.read.parquet(src)
 n = img.count()
 from laji_pygeoapi_spark.plans.image_pipeline import decode_join_tile
