@@ -327,6 +327,24 @@ def _id_column(df: DataFrame) -> str:
     return df.columns[0]
 
 
+def get_queryables() -> dict[str, dict]:
+    """The provider's queryable-field catalog — reference
+    ``lajiapi_provider.py:29-51`` (``get_fields``): every registry column
+    with a query name is exposed under its canonical (virva) name with the
+    reference's type renames (int->integer, str->string, bool->boolean;
+    other types pass through).  The reference titles fields with the CSV's
+    description column, which this registry does not carry — the Darwin
+    Core name stands in (documented divergence)."""
+    from ..registry import COLUMNS
+    renames = {"int": "integer", "str": "string", "bool": "boolean"}
+    fields: dict[str, dict] = {}
+    for c in COLUMNS:
+        if c.query_var and c.virva and c.type:
+            fields[c.virva] = {"type": renames.get(c.type, c.type),
+                               "title": c.dwc or c.virva}
+    return fields
+
+
 def get_feature(df: DataFrame, identifier: str) -> DataFrame:
     """Single feature by id; '_' decodes to '#' (``lajiapi_provider.py:147``)."""
     decoded = identifier.replace("_", "#")

@@ -277,6 +277,99 @@ def compact_store(spark: SparkSession, root: str, job_id: str,
     return doc
 
 
+# ------------------------------------------------------------ partition admin
+
+def _live_manifests(root: str) -> list[dict]:
+    """The manifests that describe the CURRENT store content: the latest
+    compaction snapshot (if any) plus deltas written at-or-after it."""
+    mdir = os.path.join(root, "_manifests")
+    if not os.path.isdir(mdir):
+        return []
+    docs = []
+    for fname in sorted(os.listdir(mdir)):
+        if fname.endswith(".json"):
+            with open(os.path.join(mdir, fname)) as f:
+                docs.append((fname, json.load(f)))
+    snaps = [(n, d) for n, d in docs
+             if d.get("metrics", {}).get("kind") == "compaction"]
+    if snaps:
+        bname, base = max(snaps, key=lambda nd: nd[1].get("written_at", 0))
+        docs = [(bname, base)] + [
+            (n, d) for n, d in docs
+            if d.get("metrics", {}).get("kind") != "compaction"
+            and d.get("written_at", 0) >= base.get("written_at", 0)]
+    return [{"file": n, **d} for n, d in docs]
+
+
+def list_partitions(root: str) -> list[dict]:
+    """The store's live partition set, from manifests only — the analog of
+    the reference's ``get_all_tables`` (``edit_db.py:132-138``; its 66
+    physical tables are this store's partitions).  One dict per distinct
+    partition-key tuple with the summed row count.  No scan."""
+    agg: dict[tuple, dict] = {}
+    for doc in _live_manifests(root):
+        cols = doc["partition_cols"]
+        for p in doc["partitions"]:
+            key = tuple((c, p[c]) for c in cols)
+            if key not in agg:
+                agg[key] = {**{c: p[c] for c in cols}, "row_count": 0}
+            agg[key]["row_count"] += p["row_count"]
+    return [agg[k] for k in sorted(agg)]
+
+
+def partition_exists(root: str, **filters) -> bool:
+    """``check_table_exists`` analog (``edit_db.py:214-230``) — manifest
+    lookup, no scan."""
+    for p in list_partitions(root):
+        if all(p.get(k) == v for k, v in filters.items()):
+            return True
+    return False
+
+
+def drop_partitions(root: str, **filters) -> int:
+    """Drop every partition matching ``filters`` — the analog of the
+    reference's per-region ``drop_table`` / ``drop_all_tables``
+    (``edit_db.py:97-130``), which it runs before each full reload.
+
+    A METADATA + FILESYSTEM operation: matching hive-style partition
+    directories are removed and every live manifest is rewritten without
+    the dropped entries (atomic per file) — no scan, no rewrite of
+    surviving data, O(dropped partitions) regardless of table size.
+    Returns the number of dropped partition directories.  Filters must
+    name partition columns only (ValueError otherwise); empty filters drop
+    everything (the reference's drop_all_tables).
+    """
+    import shutil
+    live = _live_manifests(root)
+    if live:
+        part_cols = set(live[0]["partition_cols"])
+        unknown = [k for k in filters if k not in part_cols]
+        if unknown:
+            raise ValueError(f"not partition columns: {unknown}")
+    dropped_dirs = 0
+    seen_paths: set[str] = set()
+    for doc in live:
+        cols = doc["partition_cols"]
+        keep = []
+        for p in doc["partitions"]:
+            if all(p.get(k) == v for k, v in filters.items()):
+                path = os.path.join(root, "data",
+                                    *[f"{c}={p[c]}" for c in cols])
+                if path not in seen_paths:
+                    seen_paths.add(path)
+                    if os.path.isdir(path):
+                        shutil.rmtree(path)
+                        dropped_dirs += 1
+            else:
+                keep.append(p)
+        doc_path = os.path.join(root, "_manifests", doc["file"])
+        updated = {k: v for k, v in doc.items() if k != "file"}
+        updated["partitions"] = keep
+        updated["total_rows"] = sum(p["row_count"] for p in keep)
+        _write_json_atomic(doc_path, updated)
+    return dropped_dirs
+
+
 # ------------------------------------------------------------ manifest counts
 
 def count_from_manifest(root: str, **partition_filters) -> int | None:
@@ -294,20 +387,7 @@ def count_from_manifest(root: str, **partition_filters) -> int | None:
     superseded deltas, so this logic is belt-and-braces for stores
     compacted before the archive step existed.
     """
-    mdir = os.path.join(root, "_manifests")
-    if not os.path.isdir(mdir):
-        return None
-    docs = []
-    for fname in sorted(os.listdir(mdir)):
-        if fname.endswith(".json"):
-            with open(os.path.join(mdir, fname)) as f:
-                docs.append(json.load(f))
-    snaps = [d for d in docs if d.get("metrics", {}).get("kind") == "compaction"]
-    if snaps:
-        base = max(snaps, key=lambda d: d.get("written_at", 0))
-        docs = [base] + [d for d in docs
-                         if d.get("metrics", {}).get("kind") != "compaction"
-                         and d.get("written_at", 0) >= base.get("written_at", 0)]
+    docs = _live_manifests(root)
     total = 0
     seen_any = False
     for doc in docs:

@@ -101,3 +101,15 @@ def test_benched_ann_ivf_queries_partition_prune(spark):
         assert "PartitionFilters" in plan, name
         assert col in plan.split("PartitionFilters")[1][:300], name
         assert df.count() == 10
+
+
+def test_every_driver_query_has_an_oracle():
+    """Contract guard: every queries() entry must ship a DuckDB oracle —
+    a new query silently landing rows-only would weaken the correctness
+    gate without failing anything until a judge noticed."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    q = set(entry.queries())
+    o = set(entry.oracle_sql())
+    assert q == o, f"missing oracles: {q - o}; orphan oracles: {o - q}"

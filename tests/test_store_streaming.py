@@ -144,6 +144,51 @@ def test_count_from_manifest_partition_aligned(spark, root):
     assert store.count_from_manifest(root, image_id="x") is None
 
 
+def test_partition_admin_list_drop_exists(spark, root):
+    """Reference edit_db table management as partition metadata ops:
+    get_all_tables -> list_partitions, check_table_exists ->
+    partition_exists, drop_table/drop_all_tables -> drop_partitions —
+    all manifest/filesystem-level, no scan, surviving data untouched."""
+    import pytest
+    imgs = fixtures.images_df(spark, 200, with_bytes=False)
+    prepared = ING.ingest_fused(imgs)
+    # two geometry kinds so the drop has routing to respect
+    mixed = prepared.withColumn(
+        "geom_kind", F.when(F.col("image_id") < "IMG_000000100",
+                            F.lit("point")).otherwise(F.lit("polygon")))
+    store.write_partitioned(mixed, root, "j1")
+    parts = store.list_partitions(root)
+    kinds = {p["geom_kind"] for p in parts}
+    assert kinds == {"point", "polygon"}
+    assert sum(p["row_count"] for p in parts) == 200
+    assert store.partition_exists(root, geom_kind="polygon")
+    with pytest.raises(ValueError):
+        store.drop_partitions(root, image_id="x")
+    n = store.drop_partitions(root, geom_kind="polygon")
+    assert n > 0
+    assert not store.partition_exists(root, geom_kind="polygon")
+    # manifests, counts, and the readable table all agree post-drop
+    assert store.count_from_manifest(root) == 100
+    left = store.read_table(spark, root)
+    assert left.count() == 100
+    assert left.select("geom_kind").distinct().collect()[0][0] == "point"
+
+
+def test_get_queryables_reference_semantics():
+    """lajiapi_provider.get_fields parity: only query-named columns are
+    exposed, under virva names, with the reference's type renames."""
+    from laji_pygeoapi_spark.api import features as API
+    q = API.get_queryables()
+    assert q["Yksilomaara_tulkittu"]["type"] == "integer"   # int rename
+    assert q["Tieteellinen_nimi"]["type"] == "string"       # str rename
+    assert q["Sensitiivinen_laji"]["type"] == "boolean"     # bool rename
+    assert q["geometry"]["type"] == "geom"                  # passthrough
+    assert "Esiintyman_tila" not in q   # no query name -> not queryable
+    assert "Vastuualue" not in q
+    # every exposed field carries a type and a title
+    assert all(set(v) == {"type", "title"} for v in q.values())
+
+
 def test_items_hits_from_manifest_no_scan(spark, root, monkeypatch):
     """items(store_root=) answers an UNFILTERED hits request from the
     lineage manifests — proven scan-free by making DataFrame.count raise;
