@@ -106,6 +106,30 @@ def q_bbox_filter(spark, sf_dir):
                .select("doc_id"))
 
 
+CBOX = (21.0, 61.0, 29.0, 67.0)  # partial-cell box: interior + boundary mix
+
+
+def q_bbox_count_manifest(spark, sf_dir):
+    """Serving-scale bbox numberMatched (sources.table.bbox_count): cells
+    whose hexagon lies inside the box are answered from lineage-manifest row
+    counts with ZERO IO; only boundary cells get one partition-pruned
+    residual scan.  Interior grows with bbox area, boundary with perimeter —
+    the scanned fraction vanishes as the box grows.  The cell-partitioned
+    store is built once per sf under .data/ (like the ANN/IVF index stores);
+    the count itself is pure metadata + a pruned scan."""
+    from laji_pygeoapi_spark.operators.spatial import PARTITION_RES, hex_cell_udf
+    from laji_pygeoapi_spark.sources import table as store
+    slug = sf_dir.rstrip("/").split("/")[-1]
+    root = os.path.join(_REPO, ".data", f"bbox_store_{slug}")
+    if not os.path.isdir(os.path.join(root, "data")):
+        pts = (_points(spark, sf_dir).select("doc_id", "lon", "lat")
+               .withColumn("cell_prefix",
+                           hex_cell_udf(PARTITION_RES)(F.col("lon"), F.col("lat"))))
+        store.write_partitioned(pts, root, "build", partition_cols=("cell_prefix",))
+    n = store.bbox_count(spark, root, CBOX)
+    return spark.createDataFrame([(int(n),)], "n: bigint")
+
+
 def q_pip_municipality(spark, sf_dir):
     """J4 — broadcast STRtree-style PIP join, municipality histogram."""
     from laji_pygeoapi_spark.sources import fixtures
@@ -603,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bbox_filter": q_bbox_filter,
         "count_preflight": q_count_preflight,
+        "bbox_count_manifest": q_bbox_count_manifest,
         "pip_municipality": q_pip_municipality,
         "pip_province": q_pip_province,
         "pip_distributed": q_pip_distributed,
@@ -985,6 +1010,12 @@ def oracle_sql() -> dict[str, str]:
         "count_preflight": """
             SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders
             FROM lineitem
+        """,
+        "bbox_count_manifest": f"""
+            WITH {_PTS_CTE}
+            SELECT count(*) AS n FROM pts
+            WHERE lon >= {CBOX[0]} AND lon <= {CBOX[2]}
+              AND lat >= {CBOX[1]} AND lat <= {CBOX[3]}
         """,
         "pip_distributed": f"""
             WITH {_PTS_CTE},

@@ -240,9 +240,20 @@ def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
         # request is pure metadata at any table size).
         unfiltered = (bbox is None and intersects is None
                       and not datetime_range and not properties)
+        bbox_only = (bbox is not None and intersects is None
+                     and not datetime_range and not properties)
         if store_root is not None and unfiltered:
             from ..sources.table import count_from_manifest
             number_matched = count_from_manifest(store_root)
+        elif (store_root is not None and bbox_only
+                and "env_minx" not in df.columns):
+            # bbox-only counts over a point store: manifest row counts for
+            # cells whose hexagon (or stats envelope) lies inside the box;
+            # one partition-pruned residual scan over boundary cells only.
+            # Envelope-mode stores (env_* columns) use `&&` intersection
+            # semantics the cell stats can't bound — they fall through.
+            from ..sources.table import bbox_count
+            number_matched = bbox_count(df.sparkSession, store_root, bbox)
         if number_matched is None:
             number_matched = filtered.count()
     if after_id is not None:

@@ -372,6 +372,101 @@ def drop_partitions(root: str, **filters) -> int:
 
 # ------------------------------------------------------------ manifest counts
 
+def partition_stats(root: str) -> list[dict]:
+    """Per live partition: partition-key values, summed ``row_count`` and the
+    merged lon/lat envelope from the lineage manifests.  Pure metadata — the
+    statistics layer bbox planning reads (no scan)."""
+    agg: dict[tuple, dict] = {}
+    for doc in _live_manifests(root):
+        cols = doc["partition_cols"]
+        for p in doc["partitions"]:
+            key = tuple((c, p[c]) for c in cols)
+            st = agg.setdefault(key, {**{c: p[c] for c in cols}, "row_count": 0,
+                                      "min_lon": None, "max_lon": None,
+                                      "min_lat": None, "max_lat": None})
+            st["row_count"] += p["row_count"]
+            for k, fn in (("min_lon", min), ("min_lat", min),
+                          ("max_lon", max), ("max_lat", max)):
+                v = p.get(k)
+                if v is not None:
+                    st[k] = v if st[k] is None else fn(st[k], v)
+    return [agg[k] for k in sorted(agg)]
+
+
+def bbox_count(spark: SparkSession, root: str, bbox) -> int | None:
+    """Exact numberMatched for a point-membership bbox query, answered
+    mostly from manifests: the serving-scale count path for PARTIAL-cell
+    bboxes (the unfiltered case is :func:`count_from_manifest`).
+
+    Plan (all metadata until the last step):
+
+    1. cover — the complete res-``PARTITION_RES`` cell cover of the bbox
+       (same generator the scan predicate uses); partitions outside it hold
+       no matching points and are never touched.
+    2. For each covered live partition, classify from statistics:
+       * manifest lon/lat envelope disjoint from the bbox → contributes 0;
+       * envelope contained in the bbox, OR the cell's hexagon contained in
+         the bbox (hexagons are convex: corners inside ⇒ cell inside, and a
+         point is always inside its assigned cell's closed hexagon) →
+         INTERIOR: the manifest row count is exact, zero IO;
+       * otherwise → BOUNDARY: needs a residual scan.
+    3. One partition-pruned scan over ONLY the boundary cells with the
+       exact bbox predicate supplies the residual.
+
+    At 100 TB the boundary set grows with the bbox *perimeter* while the
+    interior grows with its *area* — the scanned fraction vanishes as the
+    query box grows, exactly like a coverage-indexed spatial database.
+    Returns None when the store's manifests can't answer (no ``cell_prefix``
+    partitioning) — callers fall back to a full filtered count.
+    """
+    from ..kernels import cells as C
+    minx, miny, maxx, maxy = bbox
+    stats = partition_stats(root)
+    if not stats or any("cell_prefix" not in s for s in stats):
+        return None
+    from ..operators.spatial import PARTITION_RES
+    cover = {int(c) for c in C.hex_cells_in_bbox(minx, miny, maxx, maxy,
+                                                 PARTITION_RES)}
+    interior_total = 0
+    boundary: set[int] = set()
+    hex_inside: dict[int, bool] = {}
+    for s in stats:
+        cell = int(s["cell_prefix"])
+        if cell not in cover:
+            continue
+        env = (s["min_lon"], s["min_lat"], s["max_lon"], s["max_lat"])
+        if all(v is not None for v in env):
+            if env[0] > maxx or env[2] < minx or env[1] > maxy or env[3] < miny:
+                continue  # stats prove zero matches — no scan
+            if (env[0] >= minx and env[2] <= maxx
+                    and env[1] >= miny and env[3] <= maxy):
+                interior_total += s["row_count"]
+                continue
+        if cell not in hex_inside:
+            b = C.hex_boundary(cell)
+            hex_inside[cell] = bool((b[:, 0] >= minx).all() and (b[:, 0] <= maxx).all()
+                                    and (b[:, 1] >= miny).all() and (b[:, 1] <= maxy).all())
+        if hex_inside[cell]:
+            interior_total += s["row_count"]
+        else:
+            boundary.add(cell)
+    residual = _bbox_residual_count(spark, root, sorted(boundary), bbox) \
+        if boundary else 0
+    return interior_total + residual
+
+
+def _bbox_residual_count(spark: SparkSession, root: str, cells, bbox) -> int:
+    """The boundary-cell scan of :func:`bbox_count` — partition-pruned to
+    ``cells``, exact point predicate.  Separate function so tests can prove
+    interior cells never reach IO."""
+    minx, miny, maxx, maxy = bbox
+    df = read_table(spark, root)
+    return (df.filter(F.col("cell_prefix").isin([int(c) for c in cells])
+                      & (F.col("lon") >= minx) & (F.col("lon") <= maxx)
+                      & (F.col("lat") >= miny) & (F.col("lat") <= maxy))
+              .count())
+
+
 def count_from_manifest(root: str, **partition_filters) -> int | None:
     """Answer a partition-aligned COUNT from manifest row counts — no scan.
 

@@ -292,3 +292,106 @@ def test_compaction_crash_recovery(spark, root):
     doc = store.compact_store(spark, root, "c-heal")
     assert doc["total_rows"] == n
     shutil.rmtree(root)
+
+
+# ------------------------------------------------- partial-cell bbox counts
+
+FINLAND = (19.083, 59.454, 31.587, 70.092)
+
+
+def test_bbox_count_interior_is_scan_free(spark, root, monkeypatch):
+    """A bbox containing every partition's stats envelope needs ZERO IO:
+    all covered cells classify as interior, so the residual-scan helper
+    must never run."""
+    imgs = fixtures.images_df(spark, 400, with_bytes=False)
+    store.write_partitioned(ING.ingest_fused(imgs), root, "j1")
+
+    def boom(*a, **k):
+        raise AssertionError("residual scan ran for an interior-only bbox")
+    monkeypatch.setattr(store, "_bbox_residual_count", boom)
+    assert store.bbox_count(spark, root, FINLAND) == 400
+
+
+def test_bbox_count_partial_matches_scan_and_prunes(spark, root, monkeypatch):
+    """Partial-cell bboxes: manifest-interior + boundary-residual equals the
+    full-scan count, and the residual scan receives ONLY cells whose hexagon
+    straddles the box (never an interior cell)."""
+    from laji_pygeoapi_spark.kernels import cells as C
+    imgs = fixtures.images_df(spark, 600, with_bytes=False)
+    store.write_partitioned(ING.ingest_fused(imgs), root, "j1")
+    t = store.read_table(spark, root)
+    seen: list[list] = []
+    orig = store._bbox_residual_count
+
+    def spy(sp, rt, cells, bbox):
+        seen.append(list(cells))
+        return orig(sp, rt, cells, bbox)
+    monkeypatch.setattr(store, "_bbox_residual_count", spy)
+    for bbox in [(21.0, 61.0, 29.0, 67.0),   # interior + boundary mix
+                 (24.5, 59.9, 28.5, 62.2),   # the serving test box
+                 (20.0, 60.0, 20.5, 60.4)]:  # sub-cell sliver
+        minx, miny, maxx, maxy = bbox
+        expect = t.filter((F.col("lon") >= minx) & (F.col("lon") <= maxx)
+                          & (F.col("lat") >= miny) & (F.col("lat") <= maxy)).count()
+        assert store.bbox_count(spark, root, bbox) == expect
+    for cells, bbox in zip(seen, [(21.0, 61.0, 29.0, 67.0)]):
+        for cell in cells:
+            b = C.hex_boundary(cell)
+            fully_inside = (b[:, 0] >= bbox[0]).all() and (b[:, 0] <= bbox[2]).all() \
+                and (b[:, 1] >= bbox[1]).all() and (b[:, 1] <= bbox[3]).all()
+            assert not fully_inside, "interior cell leaked into the residual scan"
+
+
+def test_bbox_count_disjoint_stats_skip_scan(spark, root, monkeypatch):
+    """A bbox inside the cell cover but disjoint from every partition's
+    point envelope is answered 0 with no scan (stats prove emptiness)."""
+    imgs = fixtures.images_df(spark, 100, with_bytes=False)
+    store.write_partitioned(ING.ingest_fused(imgs), root, "j1")
+    t = store.read_table(spark, root)
+    lo = t.agg(F.min("lon"), F.min("lat")).collect()[0]
+    # a sliver strictly west/south of every stored point, same cell cover
+    bbox = (lo[0] - 0.4, lo[1] - 0.4, lo[0] - 0.2, lo[1] - 0.2)
+
+    def boom(*a, **k):
+        raise AssertionError("scan ran for a stats-provably-empty bbox")
+    monkeypatch.setattr(store, "_bbox_residual_count", boom)
+    assert store.bbox_count(spark, root, bbox) == 0
+
+
+def test_bbox_count_survives_compaction(spark, root):
+    """Manifest algebra: after compaction (snapshot manifest supersedes the
+    archived deltas) partial-bbox counts still equal the scan."""
+    store.write_partitioned(
+        ING.ingest_fused(fixtures.images_df(spark, 200, with_bytes=False)), root, "d1")
+    store.write_partitioned(
+        ING.ingest_fused(fixtures.images_df(spark, 100, with_bytes=False)), root, "d2")
+    store.compact_store(spark, root, "c1")
+    t = store.read_table(spark, root)
+    bbox = (21.0, 61.0, 29.0, 67.0)
+    expect = t.filter((F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+                      & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])).count()
+    assert store.bbox_count(spark, root, bbox) == expect
+
+
+def test_items_bbox_hits_via_manifest(spark, root, monkeypatch):
+    """items(store_root=, bbox=) routes numberMatched through bbox_count:
+    a whole-extent bbox is fully scan-free (DataFrame.count poisoned), a
+    partial bbox agrees with the predicate count."""
+    from pyspark.sql import DataFrame
+    from laji_pygeoapi_spark.api import features as API
+    imgs = fixtures.images_df(spark, 150, with_bytes=False)
+    store.write_partitioned(ING.ingest_fused(imgs), root, "j1")
+    t = store.read_table(spark, root)
+    expect_partial = t.filter(
+        (F.col("lon") >= 24.5) & (F.col("lon") <= 28.5)
+        & (F.col("lat") >= 59.9) & (F.col("lat") <= 62.2)).count()
+
+    def boom(self):
+        raise AssertionError("scan-count called for an interior-only bbox")
+    monkeypatch.setattr(DataFrame, "count", boom)
+    _, matched = API.items(t, resulttype="hits", store_root=root, bbox=FINLAND)
+    assert matched == 150
+    monkeypatch.undo()
+    _, m2 = API.items(t, resulttype="hits", store_root=root,
+                      bbox=(24.5, 59.9, 28.5, 62.2))
+    assert m2 == expect_partial and 0 < m2 < 150
