@@ -532,6 +532,34 @@ def q_hourly_rollup(spark, sf_dir):
               .withColumn("hour", F.date_format("hour", "yyyy-MM-dd'T'HH:mm:ss'Z'")))
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Mergeable HyperLogLog cardinality sketch (operators/sketch.py):
+    distinct customers per order priority as an INTEGER-exact register
+    summary (zero_registers + Σ2^(32-rho) scaled sum).  The deterministic
+    32-bit integer hash chain lets the DuckDB oracle rebuild the ENTIRE
+    sketch hash-exactly; the float estimate (pytest-gated to ±15 %) is
+    derived outside the compared plan.  At scale: one hash agg keyed by
+    (group, register ≤ 256 rows/group), map-side combined, no UDF."""
+    from laji_pygeoapi_spark.operators import sketch as SK
+    orders = _tbl(spark, sf_dir, "orders")
+    return SK.hll_summary(
+        SK.hll_sketch(orders, "o_custkey", ["o_orderpriority"]),
+        ["o_orderpriority"])
+
+
+def q_cms_freq(spark, sf_dir):
+    """Count-Min frequency sketch + point lookups: event counts per user
+    estimated from 4x512 integer counters (est ≥ true, one-sided).  The
+    probe set (keys 0..199 — 50 of them absent, exercising the missing-
+    bucket ⇒ 0 path) joins the sketch broadcast-side; the oracle rebuilds
+    counters AND lookups in SQL with the identical hash family."""
+    from laji_pygeoapi_spark.operators import sketch as SK
+    ev = _tbl(spark, sf_dir, "events")
+    sk = SK.cms_sketch(ev, "user_id")
+    keys = spark.range(200).select(F.col("id").alias("user_id"))
+    return SK.cms_lookup(sk, keys, "user_id")
+
+
 def q_tm35fin(spark, sf_dir):
     """G4 — CRS transform of points to EPSG:3067.  The Karney/Krüger
     forward series is a finite closed-form chain of transcendentals, so the
@@ -661,6 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "token_histogram": q_token_histogram,
         "hourly_rollup": q_hourly_rollup,
+        "hll_distinct": q_hll_distinct,
+        "cms_freq": q_cms_freq,
         "sessions": q_sessions,
         "ivf_topk": q_ivf_topk,
         "curation": q_curation,
@@ -1011,6 +1041,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders
             FROM lineitem
         """,
+        "hll_distinct": """
+        WITH a0 AS (SELECT o_orderpriority, ((o_custkey % 4294967296) + (o_custkey >> 32)) % 4294967296 AS x FROM orders),
+        a1 AS (SELECT o_orderpriority, (xor(x, x >> 16) * 73244475) % 4294967296 AS x FROM a0),
+        a2 AS (SELECT o_orderpriority, (xor(x, x >> 16) * 73244475) % 4294967296 AS x FROM a1),
+        hh AS (SELECT o_orderpriority, xor(x, x >> 16) AS h FROM a2),
+        reg AS (SELECT o_orderpriority, h & 255 AS register, h >> 8 AS w FROM hh),
+        mx AS (SELECT o_orderpriority, register,
+                      max(CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END) AS max_rho
+               FROM reg GROUP BY o_orderpriority, register)
+        SELECT o_orderpriority,
+               CAST(256 - count(*) AS BIGINT) AS zero_registers,
+               CAST(sum(CAST(1 AS BIGINT) << (32 - max_rho))
+                    + (256 - count(*)) * CAST(4294967296 AS BIGINT) AS BIGINT) AS s_scaled
+        FROM mx GROUP BY o_orderpriority
+    """,
+        "cms_freq": """
+        WITH a0 AS (SELECT user_id, ((user_id % 4294967296) + (user_id >> 32)) % 4294967296 AS x FROM events),
+        a1 AS (SELECT user_id, (xor(x, x >> 16) * 73244475) % 4294967296 AS x FROM a0),
+        a2 AS (SELECT user_id, (xor(x, x >> 16) * 73244475) % 4294967296 AS x FROM a1),
+        hh AS (SELECT user_id, xor(x, x >> 16) AS h FROM a2),
+        rb0 AS (SELECT h, r.rw, (h + r.rw * 2654435769) % 4294967296 AS xr
+                FROM hh CROSS JOIN (VALUES (0),(1),(2),(3)) r(rw)),
+        rb1 AS (SELECT h, rw, (xor(xr, xr >> 16) * 73244475) % 4294967296 AS x2r FROM rb0),
+        counters AS (SELECT rw, xor(x2r, x2r >> 16) % 512 AS bucket, count(*) AS cnt
+                     FROM rb1 GROUP BY 1, 2),
+        keys AS (SELECT CAST(k.range AS BIGINT) AS user_id FROM range(200) k),
+        k0 AS (SELECT user_id, ((user_id % 4294967296) + (user_id >> 32)) % 4294967296 AS x FROM keys),
+        k1 AS (SELECT user_id, (xor(x, x >> 16) * 73244475) % 4294967296 AS x FROM k0),
+        k2 AS (SELECT user_id, (xor(x, x >> 16) * 73244475) % 4294967296 AS x FROM k1),
+        kh AS (SELECT user_id, xor(x, x >> 16) AS h FROM k2),
+        kb0 AS (SELECT user_id, r.rw, (h + r.rw * 2654435769) % 4294967296 AS xr
+                FROM kh CROSS JOIN (VALUES (0),(1),(2),(3)) r(rw)),
+        kb1 AS (SELECT user_id, rw, (xor(xr, xr >> 16) * 73244475) % 4294967296 AS x2r FROM kb0),
+        probes AS (SELECT user_id, rw, xor(x2r, x2r >> 16) % 512 AS bucket FROM kb1),
+        j AS (SELECT p.user_id, coalesce(c.cnt, 0) AS cnt
+              FROM probes p LEFT JOIN counters c ON p.rw = c.rw AND p.bucket = c.bucket)
+        SELECT user_id, CAST(min(cnt) AS BIGINT) AS est FROM j GROUP BY user_id
+    """,
         "bbox_count_manifest": f"""
             WITH {_PTS_CTE}
             SELECT count(*) AS n FROM pts

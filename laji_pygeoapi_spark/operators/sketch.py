@@ -1,0 +1,178 @@
+"""Mergeable cardinality / frequency sketches — the approximate-aggregate
+layer a 100-TB metadata catalog needs.
+
+The reference computes its per-collection metadata with exact PostGIS
+aggregates over ≤50 M rows (``edit_metadata.py:24-86``, ``edit_db.py:
+235-260``); at 10^12 rows the exact distinct/frequency questions ("unique
+observers per collection", "hot taxa") need SKETCHES: tiny, mergeable
+summaries that partial-aggregate map-side and combine associatively —
+Spark's agg pipeline handles them exactly like a sum.
+
+Design constraints (deliberate, and what makes these testable):
+
+* **Deterministic 32-bit avalanche hash in pure integer arithmetic** —
+  two multiply-xorshift rounds (murmur3-finalizer family) on BIGINT with
+  every intermediate < 2^59, so the identical chain evaluates in Spark
+  SQL, DuckDB SQL, and numpy with zero fp involvement.  The driver oracle
+  therefore checks the WHOLE sketch construction hash-exactly, not just
+  statistically.
+* **Integer register outputs** — HLL registers are (register, max_rho)
+  ints and the summary exposes Σ 2^(32-rho) as a scaled INTEGER sum
+  (order-independent, no fp accumulation), so cross-engine comparison is
+  exact; the float estimate is derived OUTSIDE the compared plan.
+* **Everything is built-in expressions** — groupBy(max)/groupBy(sum) over
+  JVM column arithmetic: whole-stage codegen, map-side partial
+  aggregation, no UDF, no shuffle beyond one hash agg keyed by
+  (group, register) with m=2^p ≤ 4096 registers per group.
+
+Spark ships approx_count_distinct (HLL++) and count_min_sketch builtins;
+these re-implementations exist because the engine contract needs sketches
+whose exact register state is reproducible in an independent engine (the
+DuckDB oracle) and whose registers are first-class rows that can be
+PERSISTED per partition and merged later (the metadata-manifest use),
+which the opaque builtin buffers don't give.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BITS = 32
+_MOD32 = 1 << 32
+_MULT = 73244475  # 0x45d9f3b — the murmur/splittable 32-bit mix multiplier
+
+
+def hash32(col: Column) -> Column:
+    """Deterministic 32-bit avalanche hash of a non-negative BIGINT key.
+
+    Folds the high 32 bits in, then two multiply-xorshift rounds + final
+    xorshift.  All intermediates < 2^59 (no overflow under ANSI mode); the
+    same chain is SQL-expressible in DuckDB (see ``__spark_entry__``) and
+    numpy-expressible for kernels.
+    """
+    k = col.cast("long")
+    x = (k % F.lit(_MOD32) + F.shiftright(k, 32)) % F.lit(_MOD32)
+    for _ in range(2):
+        x = (x.bitwiseXOR(F.shiftright(x, 16)) * F.lit(_MULT)) % F.lit(_MOD32)
+    return x.bitwiseXOR(F.shiftright(x, 16))
+
+
+def _rehash(h: Column, row: int) -> Column:
+    """Independent hash row i from a base hash (h < 2^32): golden-ratio
+    offset then one mix round — the standard double-hashing family."""
+    x = (h + F.lit(row * 0x9E3779B9)) % F.lit(_MOD32)
+    x = (x.bitwiseXOR(F.shiftright(x, 16)) * F.lit(_MULT)) % F.lit(_MOD32)
+    return x.bitwiseXOR(F.shiftright(x, 16))
+
+
+# ------------------------------------------------------------ HyperLogLog
+
+def hll_sketch(df: DataFrame, key_col: str, group_cols=(), p: int = 8) -> DataFrame:
+    """HLL register table: one row per (group, register) with the max rank.
+
+    register = low ``p`` hash bits; rho = 1 + leading-zero count of the
+    remaining ``32-p`` bits (via ``length(bin(w))`` — exact integer math,
+    no log2 fp edge cases).  The output IS the sketch: max-mergeable across
+    batches/partitions (``hll_merge``), ~2^p rows per group.
+    """
+    bits = HASH_BITS - p
+    h = hash32(F.col(key_col))
+    reg = h.bitwiseAND(F.lit((1 << p) - 1))
+    w = F.shiftright(h, p)
+    rho = (F.when(w == 0, F.lit(bits + 1))
+            .otherwise(F.lit(bits + 1) - F.length(F.bin(w)))).cast("int")
+    return (df.groupBy(*group_cols, reg.alias("register"))
+              .agg(F.max(rho).alias("max_rho")))
+
+
+def hll_merge(*sketches: DataFrame, group_cols=()) -> DataFrame:
+    """Union register tables and re-max — the associative merge that makes
+    the sketch a distributed aggregate (per-partition sketches in lineage
+    manifests combine to the table sketch without rescanning)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (out.groupBy(*group_cols, "register")
+               .agg(F.max("max_rho").alias("max_rho")))
+
+
+def hll_summary(registers: DataFrame, group_cols=(), p: int = 8) -> DataFrame:
+    """Collapse a register table to one integer-exact row per group:
+
+    * ``zero_registers`` — registers never hit (drives linear counting);
+    * ``s_scaled`` — Σ_j 2^(32 - M_j) over ALL 2^p registers (absent ⇒
+      M_j = 0 ⇒ 2^32): the harmonic-mean denominator as an exact integer,
+      invariant to summation order — the cross-engine-comparable form.
+    """
+    m = 1 << p
+    present = F.count(F.lit(1))
+    s_present = F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 32 - max_rho)"))
+    return (registers.groupBy(*group_cols)
+            .agg((F.lit(m) - present).cast("long").alias("zero_registers"),
+                 (s_present + (F.lit(m) - present) * F.lit(_MOD32))
+                 .cast("long").alias("s_scaled")))
+
+
+def hll_estimate(zero_registers: int, s_scaled: int, p: int = 8) -> float:
+    """The float estimate from one summary row (driver-side — kept outside
+    the engine-compared plan on purpose): standard HLL bias-corrected
+    harmonic mean with linear counting for the small range."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    z = s_scaled / float(_MOD32)  # Σ 2^-M_j
+    e = alpha * m * m / z
+    if e <= 2.5 * m and zero_registers > 0:
+        import math
+        return m * math.log(m / zero_registers)
+    return e
+
+
+# ------------------------------------------------------------- Count-Min
+
+def cms_sketch(df: DataFrame, key_col: str, depth: int = 4,
+               width: int = 512, group_cols=()) -> DataFrame:
+    """Count-Min frequency sketch: (row, bucket, cnt) counters.
+
+    ``depth`` independent hash rows over ``width`` buckets; each input row
+    increments one bucket per hash row (expressed as explode + one hash
+    aggregation — map-side combined, fully codegen).  Sparse: only hit
+    buckets appear (absent ⇒ 0).  Counters are sum-mergeable
+    (``cms_merge``); point estimate = min over rows (``cms_lookup``),
+    always ≥ the true count (one-sided error ≤ e·N/width w.p. 1-e^-depth).
+    """
+    h = hash32(F.col(key_col))
+    pairs = F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 (_rehash(h, i) % F.lit(width)).alias("bucket"))
+        for i in range(depth)])
+    return (df.select(*group_cols, F.explode(pairs).alias("rb"))
+              .groupBy(*group_cols, F.col("rb.row").alias("row"),
+                       F.col("rb.bucket").alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame, group_cols=()) -> DataFrame:
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (out.groupBy(*group_cols, "row", "bucket")
+               .agg(F.sum("cnt").alias("cnt")))
+
+
+def cms_lookup(sketch: DataFrame, keys: DataFrame, key_col: str,
+               depth: int = 4, width: int = 512) -> DataFrame:
+    """Point-frequency estimates for ``keys``: broadcast the (key, row,
+    bucket) probe set against the sketch, take the min counter per key
+    (missing bucket ⇒ 0).  One broadcast join — no rescan of the data."""
+    h = hash32(F.col(key_col))
+    pairs = F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 (_rehash(h, i) % F.lit(width)).alias("bucket"))
+        for i in range(depth)])
+    probes = keys.select(key_col, F.explode(pairs).alias("rb")) \
+                 .select(key_col, F.col("rb.row").alias("row"),
+                         F.col("rb.bucket").alias("bucket"))
+    joined = (sketch.join(F.broadcast(probes), ["row", "bucket"], "right")
+                    .select(key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")))
+    return joined.groupBy(key_col).agg(F.min("cnt").alias("est"))
