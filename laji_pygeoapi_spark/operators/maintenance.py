@@ -168,10 +168,17 @@ def write_metadata_manifest(df: DataFrame, path: str,
     return docs
 
 
-def collection_metadata(df: DataFrame, collection_col: str = "Aineiston_tunniste") -> list[dict]:
+def collection_metadata(df: DataFrame, collection_col: str = "Aineiston_tunniste",
+                        distinct_cols=()) -> list[dict]:
     """S8/A3-A6 — one OGC-Records-style manifest dict per collection
     (reference ``edit_metadata.py:24-86``): bbox, temporal extent, count,
-    quality histogram.  Single pass per aggregate over the table."""
+    quality histogram.  Single pass per aggregate over the table.
+
+    ``distinct_cols``: optional columns whose per-collection cardinality is
+    added as ``approx_distinct`` via the mergeable HLL sketch
+    (``operators.sketch`` — ±~6.5 % at p=8).  The reference's exact PostGIS
+    distinct queries stop being affordable at 10^12 rows; the sketch keeps
+    this a single map-side-combined hash agg of ≤256 rows per collection."""
     base = (df.groupBy(collection_col)
               .agg(F.count(F.lit(1)).alias("count"),
                    F.min("lon").alias("minx"), F.min("lat").alias("miny"),
@@ -189,15 +196,28 @@ def collection_metadata(df: DataFrame, collection_col: str = "Aineiston_tunniste
     qmap: dict[str, dict] = {}
     for r in qual:
         qmap.setdefault(r[collection_col], {})[r["Aineiston_laatu"]] = float(r["percentage"])
+    approx: dict[str, dict] = {}
+    if distinct_cols:
+        from . import sketch as SK
+        for col in distinct_cols:
+            key = SK.key_expr(F.col(col), df.schema[col].dataType)
+            sk = SK.hll_sketch(df.select(collection_col, key.alias("_k")),
+                               "_k", [collection_col])
+            for r in SK.hll_summary(sk, [collection_col]).collect():
+                approx.setdefault(r[collection_col], {})[col] = round(
+                    SK.hll_estimate(r["zero_registers"], r["s_scaled"]), 1)
     out = []
     for r in sorted(base, key=lambda x: (x[collection_col] or "")):
-        out.append({
+        doc = {
             "collection": r[collection_col],
             "count": r["count"],
             "bbox": [r["minx"], r["miny"], r["maxx"], r["maxy"]],
             "temporal": [r["min_date"], r["max_date"]],
             "quality": qmap.get(r[collection_col], {}),
-        })
+        }
+        if distinct_cols:
+            doc["approx_distinct"] = approx.get(r[collection_col], {})
+        out.append(doc)
     return out
 
 

@@ -52,10 +52,25 @@ def hash32(col: Column) -> Column:
     numpy-expressible for kernels.
     """
     k = col.cast("long")
-    x = (k % F.lit(_MOD32) + F.shiftright(k, 32)) % F.lit(_MOD32)
+    # pmod keeps every intermediate non-negative for NEGATIVE keys too
+    # (shiftright sign-extends); for non-negative keys this is bit-identical
+    # to the plain % chain the oracle SQL uses
+    x = F.pmod(F.pmod(k, F.lit(_MOD32)) + F.pmod(F.shiftright(k, 32), F.lit(_MOD32)),
+               F.lit(_MOD32))
     for _ in range(2):
         x = (x.bitwiseXOR(F.shiftright(x, 16)) * F.lit(_MULT)) % F.lit(_MOD32)
     return x.bitwiseXOR(F.shiftright(x, 16))
+
+
+def key_expr(col: Column, dtype) -> Column:
+    """A BIGINT sketch key for any column type: integral columns pass
+    through (oracle-reproducible); everything else goes through xxhash64
+    (JVM-side, deterministic per Spark version — fine for in-engine
+    sketches, pytest-gated rather than oracle-gated)."""
+    from pyspark.sql import types as T
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return col.cast("long")
+    return F.xxhash64(col)
 
 
 def _rehash(h: Column, row: int) -> Column:
@@ -150,6 +165,37 @@ def cms_sketch(df: DataFrame, key_col: str, depth: int = 4,
               .groupBy(*group_cols, F.col("rb.row").alias("row"),
                        F.col("rb.bucket").alias("bucket"))
               .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def update_hll_store(spark, batch_df: DataFrame, root: str, key_col: str,
+                     group_cols=(), p: int = 8) -> None:
+    """Fold one batch into a PERSISTED register store (tiny parquet, ≤ 2^p
+    rows per group) — the incremental form: a stream or nightly delta
+    updates cardinality metadata without ever rescanning the table.
+    Registers are max-merged with the stored state and swapped in whole
+    (they are metadata-sized; a torn swap is rebuildable from the data)."""
+    import os
+    import shutil
+    key = key_expr(F.col(key_col), batch_df.schema[key_col].dataType)
+    batch = batch_df.select(*group_cols, key.alias("_k"))
+    new = hll_sketch(batch, "_k", group_cols, p)
+    if os.path.isdir(root):
+        new = hll_merge(spark.read.parquet(root), new, group_cols=group_cols)
+    tmp = root + ".tmp"
+    new.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(root, ignore_errors=True)
+    os.replace(tmp, root)
+
+
+def read_hll_store(spark, root: str, group_cols=(), p: int = 8) -> dict:
+    """Estimates from a register store: group-key tuple -> float estimate
+    (driver-side — the store is metadata-sized)."""
+    rows = hll_summary(spark.read.parquet(root), group_cols, p).collect()
+    if not group_cols:
+        r = rows[0]
+        return {(): hll_estimate(r["zero_registers"], r["s_scaled"], p)}
+    return {tuple(r[c] for c in group_cols):
+            hll_estimate(r["zero_registers"], r["s_scaled"], p) for r in rows}
 
 
 def cms_merge(*sketches: DataFrame, group_cols=()) -> DataFrame:

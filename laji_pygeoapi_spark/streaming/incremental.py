@@ -83,3 +83,33 @@ def stream_dedup(events: DataFrame, key_cols=("event_id",),
         src = src.withWatermark(ts_col, watermark)
         return src.dropDuplicatesWithinWatermark(list(key_cols))
     return src.dropDuplicates(list(key_cols))
+
+
+def stream_sketch(spark: SparkSession, source_dir: str, sketch_root: str,
+                  key_col: str, group_cols=(), p: int = 8,
+                  schema=None, checkpoint_dir: str | None = None) -> None:
+    """Streaming cardinality maintenance: fold each micro-batch's HLL
+    registers into a persisted register store (``operators.sketch``).
+
+    The register table is an associative, idempotent-per-key max — so the
+    stream never rescans history, state is bounded at 2^p rows per group
+    regardless of input size, and the stored sketch after any prefix of
+    batches EQUALS the batch sketch of their union (register-exact,
+    pytest-gated).  This is the metadata-catalog shape for 10^12-row
+    stores: "distinct observers per collection" stays current per append
+    at metadata cost."""
+    from ..operators import sketch as SK
+    checkpoint_dir = checkpoint_dir or sketch_root + "_checkpoint"
+    stream = (spark.readStream.schema(schema or IMAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 64)
+              .parquet(source_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        SK.update_hll_store(spark, batch_df, sketch_root, key_col,
+                            group_cols=group_cols, p=p)
+
+    (stream.writeStream.foreachBatch(process_batch)
+           .option("checkpointLocation", checkpoint_dir)
+           .trigger(availableNow=True)
+           .start()
+           .awaitTermination())

@@ -92,3 +92,73 @@ def test_cms_merge_equals_whole(spark):
     whole = SK.cms_sketch(a.unionByName(b), "k")
     merged = SK.cms_merge(SK.cms_sketch(a, "k"), SK.cms_sketch(b, "k"))
     assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_hll_store_incremental_updates(spark, tmp_path):
+    """update_hll_store folded batch-by-batch equals the one-shot sketch of
+    the union, register-for-register; estimates read back sanely."""
+    from laji_pygeoapi_spark.operators import sketch as SK
+    root = str(tmp_path / "hll_store")
+    a = spark.range(0, 5000).select((F.col("id") % 900).alias("k"))
+    b = spark.range(2500, 9000).select((F.col("id") % 1300).alias("k"))
+    SK.update_hll_store(spark, a, root, "k")
+    SK.update_hll_store(spark, b, root, "k")
+    stored = sorted(map(tuple, spark.read.parquet(root).collect()))
+    whole = sorted(map(tuple,
+                       SK.hll_sketch(a.unionByName(b), "k").collect()))
+    assert stored == whole
+    est = SK.read_hll_store(spark, root)[()]
+    true = a.unionByName(b).distinct().count()
+    assert abs(est - true) / true < 0.15
+
+
+def test_stream_sketch_matches_batch(spark, tmp_path):
+    """Streaming register maintenance (availableNow, one fold per
+    micro-batch) leaves the store register-identical to the batch sketch
+    of all files — the bounded-state streaming-cardinality contract."""
+    import pyspark.sql.types as T
+    from laji_pygeoapi_spark.operators import sketch as SK
+    from laji_pygeoapi_spark.streaming.incremental import stream_sketch
+    src = str(tmp_path / "src")
+    schema = T.StructType([T.StructField("user_id", T.LongType()),
+                           T.StructField("grp", T.StringType())])
+    d1 = spark.range(0, 3000).select(
+        (F.col("id") % 400).alias("user_id"),
+        (F.col("id") % 2).cast("string").alias("grp"))
+    d2 = spark.range(1000, 7000).select(
+        (F.col("id") % 750).alias("user_id"),
+        (F.col("id") % 2).cast("string").alias("grp"))
+    d1.coalesce(1).write.mode("append").parquet(src)
+    d2.coalesce(1).write.mode("append").parquet(src)
+    root = str(tmp_path / "sketch")
+    stream_sketch(spark, src, root, "user_id", group_cols=["grp"], schema=schema)
+    stored = sorted(map(tuple, spark.read.parquet(root)
+                        .select("grp", "register", "max_rho").collect()))
+    whole = sorted(map(tuple,
+                       SK.hll_sketch(d1.unionByName(d2), "user_id", ["grp"])
+                       .select("grp", "register", "max_rho").collect()))
+    assert stored == whole
+    # re-running the stream with no new files is a no-op (exactly-once)
+    stream_sketch(spark, src, root, "user_id", group_cols=["grp"], schema=schema)
+    again = sorted(map(tuple, spark.read.parquet(root)
+                       .select("grp", "register", "max_rho").collect()))
+    assert again == stored
+
+
+def test_collection_metadata_approx_distinct(spark):
+    """distinct_cols adds HLL approx cardinalities per collection, within
+    15% of the exact distinct count (string keys via xxhash64)."""
+    from laji_pygeoapi_spark.functions import transform
+    from laji_pygeoapi_spark.operators import maintenance as M
+    from laji_pygeoapi_spark.sources import fixtures
+    raw = spark.createDataFrame(fixtures.raw_occurrences_pdf(300))
+    tax = spark.createDataFrame(fixtures.taxonomy_pdf())
+    occ = transform.transform_chain(raw, tax)
+    md = M.collection_metadata(occ, distinct_cols=("Havainnon_tunniste",))
+    assert md and all("approx_distinct" in m for m in md)
+    exact = {r["Aineiston_tunniste"]: r["d"] for r in occ.groupBy("Aineiston_tunniste")
+             .agg(F.countDistinct("Havainnon_tunniste").alias("d")).collect()}
+    for m in md:
+        est = m["approx_distinct"]["Havainnon_tunniste"]
+        true = exact[m["collection"]]
+        assert abs(est - true) / max(true, 1) < 0.15, (m["collection"], est, true)
