@@ -32,7 +32,8 @@ HEADLINE = [
     "pip_municipality", "knn", "hex_cells", "tiles", "dedup_latest",
     "merge_policies", "quality_histogram", "star_join", "exact_dedup",
     "minhash_pairs", "brute_topk", "text_profile", "hourly_rollup",
-    "sessions", "ivf_topk",
+    "sessions", "ivf_topk", "hll_distinct", "cms_freq",
+    "bbox_count_manifest",
 ]
 
 

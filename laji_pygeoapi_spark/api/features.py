@@ -356,12 +356,39 @@ def get_queryables() -> dict[str, dict]:
     return fields
 
 
-def get_feature(df: DataFrame, identifier: str) -> DataFrame:
-    """Single feature by id; '_' decodes to '#' (``lajiapi_provider.py:147``)."""
+def get_feature(df: DataFrame, identifier: str,
+                store_root: str | None = None) -> DataFrame:
+    """Single feature by id; '_' decodes to '#' (``lajiapi_provider.py:147``).
+
+    ``store_root``: when the table is a bloom-indexed store
+    (``write_partitioned(bloom_col=...)``), the lookup tests each
+    partition's manifest bitset driver-side and scans only candidate
+    partition directories — the O(1)-ish GET the reference gets from its
+    PostGIS btree.  ``Havainnon_tunniste`` is ``Paikallinen_tunniste``
+    with '#' re-encoded (``compute_variables.py:240``), so both OR-arms
+    address the same physical row and the single-column bloom probe stays
+    complete."""
     decoded = identifier.replace("_", "#")
-    return df.filter(
-        (F.col("Paikallinen_tunniste") == identifier)
-        | (F.col("Havainnon_tunniste") == decoded))
+
+    def pred(frame):
+        arms = []
+        if "Paikallinen_tunniste" in frame.columns:
+            arms.append(F.col("Paikallinen_tunniste") == identifier)
+        if "Havainnon_tunniste" in frame.columns:
+            arms.append(F.col("Havainnon_tunniste") == decoded)
+        if not arms:
+            arms = [F.col(_id_column(frame)) == identifier]
+        out = arms[0]
+        for a in arms[1:]:
+            out = out | a
+        return out
+
+    if store_root is not None:
+        from ..sources.table import read_candidate_partitions
+        pruned = read_candidate_partitions(df.sparkSession, store_root, identifier)
+        if pruned is not None:
+            return pruned.filter(pred(pruned))
+    return df.filter(pred(df))
 
 
 def to_geojson(df: DataFrame, id_col: str = "Paikallinen_tunniste",

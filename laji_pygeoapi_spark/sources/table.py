@@ -45,10 +45,23 @@ def _write_json_atomic(path: str, doc: dict) -> None:
 
 def write_partitioned(df: DataFrame, root: str, job_id: str,
                       mode: str = "append",
-                      partition_cols=PARTITION_COLS) -> dict:
+                      partition_cols=PARTITION_COLS,
+                      bloom_col: str | None = None,
+                      bloom_bits: int = 8192) -> dict:
     """Write the table partitioned by (geom_kind, cell_prefix) and emit a
     lineage manifest.  An explicit repartition on the partition key bounds
-    file counts (one shuffle, then parallel writes per partition)."""
+    file counts (one shuffle, then parallel writes per partition).
+
+    ``bloom_col``: also record a per-partition Bloom filter over that
+    column in the manifest (and enable parquet's own row-group bloom on it)
+    — the id-lookup index: a single-feature GET tests ``n_partitions``
+    bitsets driver-side and scans only matching partitions, replacing the
+    reference's PostGIS btree on the id (``edit_db.py:307-311``).  Size
+    ``bloom_bits`` ≈ 10× expected rows per partition per delta for ~1 %
+    false positives (the default 8192 suits ≤1 k rows; at petabyte scale
+    the per-partition manifest bloom stays the COARSE pruner and parquet's
+    per-row-group blooms — enabled by the same flag — do the fine skipping
+    inside each file)."""
     part_cols = [c for c in partition_cols if c in df.columns]
     # persist the batch FIRST so both consumers below (the partitioned write
     # and the manifest aggregation) resolve to the same cached subtree and
@@ -73,9 +86,15 @@ def write_partitioned(df: DataFrame, root: str, job_id: str,
         out = out.sortWithinPartitions(sort_key)
     t0 = time.time()
     try:
-        (out.write.mode(mode).partitionBy(*part_cols).parquet(os.path.join(root, "data")))
+        writer = out.write.mode(mode).partitionBy(*part_cols)
+        if bloom_col:
+            writer = (writer.option(f"parquet.bloom.filter.enabled#{bloom_col}", "true")
+                            .option(f"parquet.bloom.filter.expected.ndv#{bloom_col}",
+                                    str(max(bloom_bits // 10, 64))))
+        writer.parquet(os.path.join(root, "data"))
         write_s = time.time() - t0
-        manifest = build_manifest(manifest_src, part_cols)
+        manifest = build_manifest(manifest_src, part_cols,
+                                  bloom_col=bloom_col, bloom_bits=bloom_bits)
     finally:
         df.unpersist()
     total_rows = sum(p["row_count"] for p in manifest)
@@ -92,14 +111,70 @@ def write_partitioned(df: DataFrame, root: str, job_id: str,
             "n_partitions": len(manifest),
         },
     }
+    if bloom_col:
+        manifest_doc["bloom"] = {"col": bloom_col, "bits": bloom_bits,
+                                 "k": _BLOOM_K}
     _write_json_atomic(os.path.join(root, "_manifests", f"manifest-{job_id}.json"),
                        manifest_doc)
     return manifest_doc
 
 
-def build_manifest(df: DataFrame, part_cols) -> list[dict]:
+_BLOOM_K = 4  # hash rows per key (FPR ≈ (1 - e^(-k·n/bits))^k)
+
+
+def _with_bloom_positions(df: DataFrame, col: str, bits: int,
+                          n_hashes: int = _BLOOM_K) -> DataFrame:
+    """Stage ``_bp0.._bp{k-1}`` bit-position columns for ``col`` — the same
+    deterministic hash family as the sketches (``operators.sketch``), with
+    every round staged as its own projection so nothing is re-evaluated
+    per row (see ``sketch.with_hash32``)."""
+    from ..operators.sketch import _MOD32, _MULT, with_hash32
+    df = with_hash32(df, col, out="_bh")
+    for i in range(n_hashes):
+        df = df.withColumn(f"_bx{i}", (F.col("_bh")
+                                       + F.lit(i * 0x9E3779B9)) % F.lit(_MOD32))
+        x = F.col(f"_bx{i}")
+        df = df.withColumn(f"_bx{i}", (x.bitwiseXOR(F.shiftright(x, 16))
+                                       * F.lit(_MULT)) % F.lit(_MOD32))
+        x = F.col(f"_bx{i}")
+        df = df.withColumn(f"_bp{i}",
+                           (x.bitwiseXOR(F.shiftright(x, 16)) % F.lit(bits)).cast("long"))
+    return df.drop("_bh", *[f"_bx{i}" for i in range(n_hashes)])
+
+
+def bloom_words(value, bits: int, k: int = _BLOOM_K) -> list[int]:
+    """Driver-side bloom footprint of one python value (same hash family as
+    the distributed build): list of (word_index, word_mask) pairs."""
+    def h32(x: int) -> int:
+        y = ((x % 2**32) + ((x >> 32) % 2**32)) % 2**32
+        for _ in range(2):
+            y = ((y ^ (y >> 16)) * 73244475) % 2**32
+        return y ^ (y >> 16)
+
+    if isinstance(value, int):
+        base = h32(value)
+    else:
+        # match key_expr's xxhash64 for non-integral keys
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        base = h32(spark.range(1).select(
+            F.xxhash64(F.lit(value))).first()[0])
+    out = []
+    for i in range(k):
+        x = (base + i * 0x9E3779B9) % 2**32
+        x = ((x ^ (x >> 16)) * 73244475) % 2**32
+        pos = (x ^ (x >> 16)) % bits
+        out.append((pos >> 6, 1 << (pos & 63)))
+    return out
+
+
+def build_manifest(df: DataFrame, part_cols, bloom_col: str | None = None,
+                   bloom_bits: int = 8192) -> list[dict]:
     """Per-partition lineage: cell range, row count, xor-checksum — one
-    distributed aggregation, no collect of data rows."""
+    distributed aggregation, no collect of data rows.  With ``bloom_col``,
+    also a per-partition Bloom bitset (``bloom_bits`` bits as int64 words,
+    bit_or-aggregated — associative, map-side combined like everything
+    else in this manifest)."""
     # sorted so the checksum is invariant to physical column order
     # (partition columns move to the tail on read-back)
     hash_cols = sorted(c for c in df.columns if c not in ("bytes", "geometry"))
@@ -113,8 +188,26 @@ def build_manifest(df: DataFrame, part_cols) -> list[dict]:
                  F.min("lat").alias("min_lat"), F.max("lat").alias("max_lat")]
     if "cell_prefix" in df.columns:
         aggs += [F.min("cell_prefix").alias("min_cell"), F.max("cell_prefix").alias("max_cell")]
+    n_words = 0
+    if bloom_col and bloom_col in df.columns:
+        n_words = bloom_bits // 64
+        # stage the k bit positions once, then 64-bit words accumulate via
+        # bit_or over per-row masks — pure JVM integer expressions
+        df = _with_bloom_positions(df, bloom_col, bloom_bits)
+        for w in range(n_words):
+            row_mask = " | ".join(
+                f"IF(_bp{i} DIV 64 = {w}, SHIFTLEFT(CAST(1 AS BIGINT), "
+                f"CAST(_bp{i} % 64 AS INT)), CAST(0 AS BIGINT))"
+                for i in range(_BLOOM_K))
+            aggs.append(F.expr(f"bit_or({row_mask})").alias(f"_bw{w}"))
     rows = (df.groupBy(*part_cols).agg(*aggs) if part_cols else df.agg(*aggs)).collect()
-    return [r.asDict() for r in rows]
+    out = []
+    for r in rows:
+        d = r.asDict()
+        if n_words:
+            d["bloom_words"] = [int(d.pop(f"_bw{w}") or 0) for w in range(n_words)]
+        out.append(d)
+    return out
 
 
 def _recover_compaction(root: str) -> None:
@@ -238,12 +331,18 @@ def compact_store(spark: SparkSession, root: str, job_id: str,
     old_dir = os.path.join(root, f"data.pre-compact-{job_id}")
     df = spark.read.parquet(data_dir)
     part_cols = [c for c in partition_cols if c in df.columns]
+    # carry the bloom index through compaction: the snapshot manifest must
+    # keep answering lookup_partitions after the deltas are archived
+    bloom_meta = next((d["bloom"] for d in _live_manifests(root)
+                       if d.get("bloom")), None)
     before = (build_manifest(df, part_cols) if part_cols
               else build_manifest(df, []))
     (df.repartition(max_files_per_partition, *[F.col(c) for c in part_cols])
        .write.mode("overwrite").partitionBy(*part_cols).parquet(tmp_dir))
     after_df = spark.read.parquet(tmp_dir)
-    after = build_manifest(after_df, part_cols)
+    after = build_manifest(after_df, part_cols,
+                           bloom_col=bloom_meta["col"] if bloom_meta else None,
+                           bloom_bits=bloom_meta["bits"] if bloom_meta else 8192)
 
     def keyed(rows):
         return {tuple(r[c] for c in part_cols): (r["row_count"], r["checksum"])
@@ -262,6 +361,8 @@ def compact_store(spark: SparkSession, root: str, job_id: str,
                     "n_partitions": len(after),
                     "max_files_per_partition": max_files_per_partition},
     }
+    if bloom_meta:
+        doc["bloom"] = bloom_meta
     # archive the superseded delta manifests BEFORE publishing the snapshot:
     # if we crash mid-archive, counts are under (a delta is missing but the
     # snapshot is not yet there) only until the next compact; publishing
@@ -465,6 +566,72 @@ def _bbox_residual_count(spark: SparkSession, root: str, cells, bbox) -> int:
                       & (F.col("lon") >= minx) & (F.col("lon") <= maxx)
                       & (F.col("lat") >= miny) & (F.col("lat") <= maxy))
               .count())
+
+
+def lookup_partitions(root: str, value) -> list[dict] | None:
+    """Candidate partitions that may contain ``value`` in the bloom-indexed
+    column — pure manifest metadata, O(partitions) bitset tests, no IO.
+
+    A partition is a candidate if ANY live delta's bloom for it matches
+    (rows for one key may be split across deltas).  Partitions recorded
+    without a bloom stay candidates (correctness first).  Returns None when
+    no live manifest carries a bloom index at all — callers fall back to a
+    full scan."""
+    docs = _live_manifests(root)
+    bloomed = [d for d in docs if d.get("bloom")]
+    if not bloomed:
+        return None
+    out: dict[tuple, dict] = {}
+    for doc in docs:
+        cols = doc["partition_cols"]
+        meta = doc.get("bloom")
+        probe = bloom_words(value, meta["bits"], meta["k"]) if meta else None
+        for p in doc["partitions"]:
+            key = tuple((c, p[c]) for c in cols)
+            words = p.get("bloom_words")
+            if probe is not None and words is not None:
+                hit = all(words[w] & m for w, m in probe)
+            else:
+                hit = True  # no bloom for this delta/partition: can't rule out
+            if hit:
+                out.setdefault(key, {c: p[c] for c in cols})
+    return [out[k] for k in sorted(out)]
+
+
+def get_by_id(spark: SparkSession, root: str, value,
+              id_col: str | None = None) -> DataFrame:
+    """Single-feature lookup through the manifest bloom index: test every
+    partition's bitset driver-side, then scan ONLY the candidate partition
+    directories (plus parquet's own row-group bloom inside them) — the
+    engine's answer to the reference's btree-indexed id GET
+    (``edit_db.py:307-311``).  Typically 1 partition read out of all of
+    them; false positives only cost an extra pruned read, never a wrong
+    result.  Falls back to a full pruned-scan filter when the store has no
+    bloom index."""
+    meta_col = next((d["bloom"]["col"] for d in _live_manifests(root)
+                     if d.get("bloom")), None)
+    id_col = id_col or meta_col
+    pruned = read_candidate_partitions(spark, root, value)
+    if pruned is None:
+        return read_table(spark, root).filter(F.col(id_col or "image_id") == value)
+    return pruned.filter(F.col(id_col) == value)
+
+
+def read_candidate_partitions(spark: SparkSession, root: str, value) -> DataFrame | None:
+    """The pruned frame behind :func:`get_by_id`: only partition
+    directories whose bloom may contain ``value``.  None when the store has
+    no bloom index (caller falls back to the full table); an empty-by-
+    construction frame when the bloom proves the value absent everywhere."""
+    cands = lookup_partitions(root, value)
+    if cands is None:
+        return None
+    data_dir = os.path.join(root, "data")
+    paths = [p for c in cands
+             if os.path.isdir(p := os.path.join(
+                 data_dir, *[f"{k}={v}" for k, v in c.items()]))]
+    if not paths:
+        return read_table(spark, root).filter(F.lit(False))
+    return spark.read.option("basePath", data_dir).parquet(*paths)
 
 
 def count_from_manifest(root: str, **partition_filters) -> int | None:

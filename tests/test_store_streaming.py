@@ -395,3 +395,65 @@ def test_items_bbox_hits_via_manifest(spark, root, monkeypatch):
     _, m2 = API.items(t, resulttype="hits", store_root=root,
                       bbox=(24.5, 59.9, 28.5, 62.2))
     assert m2 == expect_partial and 0 < m2 < 150
+
+
+# ------------------------------------------------------- manifest bloom index
+
+def test_bloom_lookup_finds_and_prunes(spark, root):
+    """Bloom-indexed store: every present id is found via a pruned read of
+    (usually) one partition; candidate sets stay tiny for absent ids."""
+    imgs = fixtures.images_df(spark, 400, with_bytes=False)
+    store.write_partitioned(ING.ingest_fused(imgs), root, "j1",
+                            bloom_col="image_id")
+    n_parts = len(store.list_partitions(root))
+    assert n_parts > 3
+    ids = [r["image_id"] for r in
+           store.read_table(spark, root).select("image_id").limit(50).collect()]
+    for v in ids[:8]:
+        got = store.get_by_id(spark, root, v).collect()
+        assert len(got) == 1 and got[0]["image_id"] == v
+        assert len(store.lookup_partitions(root, v)) <= max(2, n_parts // 4)
+    # absent keys: bloom FPR bounds the candidate fraction; result is empty
+    total_cands = 0
+    for i in range(100):
+        v = f"ABSENT_{i:06d}"
+        cands = store.lookup_partitions(root, v)
+        total_cands += len(cands)
+        if cands:
+            assert store.get_by_id(spark, root, v).count() == 0
+    assert total_cands < 100 * n_parts * 0.2, "bloom FPR too high"
+
+
+def test_bloom_survives_deltas_and_compaction(spark, root):
+    """Blooms from multiple deltas union correctly, and compaction carries
+    the index into the snapshot manifest (archived deltas stay consulted
+    only until then)."""
+    a = fixtures.images_df(spark, 150, with_bytes=False)
+    store.write_partitioned(ING.ingest_fused(a), root, "d1", bloom_col="image_id")
+    b = (fixtures.images_df(spark, 300, with_bytes=False)
+         .filter(F.col("image_id") >= "IMG_000000150"))
+    store.write_partitioned(ING.ingest_fused(b), root, "d2", bloom_col="image_id")
+    for v in ("IMG_000000010", "IMG_000000200"):
+        got = store.get_by_id(spark, root, v).collect()
+        assert len(got) == 1, v
+    store.compact_store(spark, root, "c1")
+    for v in ("IMG_000000010", "IMG_000000200"):
+        got = store.get_by_id(spark, root, v).collect()
+        assert len(got) == 1, v
+    assert store.lookup_partitions(root, "IMG_000000010") is not None
+
+
+def test_get_feature_store_pruned(spark, root, monkeypatch):
+    """api.get_feature(store_root=) reads only bloom-candidate partitions —
+    proven by poisoning read_table (the full-scan path must not run)."""
+    from laji_pygeoapi_spark.api import features as API
+    imgs = fixtures.images_df(spark, 200, with_bytes=False)
+    store.write_partitioned(ING.ingest_fused(imgs), root, "j1",
+                            bloom_col="image_id")
+    t = store.read_table(spark, root)
+
+    def boom(*a, **k):
+        raise AssertionError("full-table read for a bloom-indexed GET")
+    monkeypatch.setattr(store, "read_table", boom)
+    got = API.get_feature(t, "IMG_000000042", store_root=root).collect()
+    assert len(got) == 1 and got[0]["image_id"] == "IMG_000000042"
