@@ -624,6 +624,25 @@ def q_curation(spark, sf_dir):
     return curate(docs, lang="en", min_quality=0.6, jaccard_threshold=0.7)
 
 
+def q_multimodal_curation(spark, sf_dir):
+    """Cross-modal curation (plans.curation.multimodal_curate): drop a row
+    when EITHER its caption is a verified MinHash near-dup OR its image
+    phash is within Hamming 8 — the union drop-set over the exact-dedup
+    survivors.  phash synthesized as in q_phash_pairs (no binary images in
+    the driver tables); every pipeline stage is an oracle-checked operator
+    and the WHOLE composition has one SQL twin."""
+    from laji_pygeoapi_spark.plans.curation import multimodal_curate
+    docs = _tbl(spark, sf_dir, "documents")
+    base = F.col("doc_id") - F.col("doc_id") % 2
+    phash = (
+        (base * F.lit(2654435761)) % 65521
+        + ((base * F.lit(1103515245)) % 65521) * F.lit(65536)
+        + ((base * F.lit(48271)) % 65521) * F.lit(4294967296)
+        + ((base * F.lit(69621)) % 32749) * F.lit(281474976710656)
+    ).bitwiseXOR(F.col("doc_id") % 2)
+    return multimodal_curate(docs.withColumn("phash", phash))
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic per-source quota sampling (10 docs/stratum by hash
     order) — reproducible across runs/partitionings, SQL-expressible."""
@@ -694,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "ivf_topk": q_ivf_topk,
         "curation": q_curation,
+        "multimodal_curation": q_multimodal_curation,
         "sample_stratified": q_sample_stratified,
         "tm35fin": q_tm35fin,
         "geojson": q_geojson,
@@ -1002,6 +1022,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_tokens, quality FROM exact
         WHERE doc_id NOT IN (SELECT id_b FROM dups)
     """
+    # multimodal curation: curation's text CTE chain + a phash near-dup
+    # drop-set over the same exact-dedup survivors (phash synthesized as in
+    # phash_pairs); final keep = NOT text-dup AND NOT image-dup
+    phash_synth = ("xor(((doc_id - (doc_id % 2)) * 2654435761) % 65521"
+                   " + (((doc_id - (doc_id % 2)) * 1103515245) % 65521) * 65536"
+                   " + (((doc_id - (doc_id % 2)) * 48271) % 65521) * 4294967296"
+                   " + (((doc_id - (doc_id % 2)) * 69621) % 32749) * 281474976710656,"
+                   " doc_id % 2)")
+    _tail = ("SELECT doc_id, n_tokens, quality FROM exact\n"
+             "        WHERE doc_id NOT IN (SELECT id_b FROM dups)")
+    assert _tail in curation_sql
+    multimodal_sql = curation_sql.replace(_tail, f""",
+        phe AS (SELECT doc_id AS id, {phash_synth} AS h FROM exact),
+        pbanded AS (
+          SELECT id, h, b.band, (h >> (b.band * 16)) & 65535 AS chunk
+          FROM phe, (VALUES (0), (1), (2), (3)) b(band)),
+        pkept AS (SELECT id, band, chunk FROM (
+            SELECT id, band, chunk,
+                   row_number() OVER (PARTITION BY band, chunk ORDER BY id) AS rn
+            FROM pbanded) WHERE rn <= 256),
+        pcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                  FROM pkept a JOIN pkept b
+                    ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id),
+        pdups AS (SELECT DISTINCT id_b FROM (
+            SELECT c.id_b, CAST(bit_count(xor(pa.h, pb.h)) AS INTEGER) AS hm
+            FROM pcand c JOIN phe pa ON pa.id = c.id_a
+                         JOIN phe pb ON pb.id = c.id_b) WHERE hm <= 8)
+        SELECT doc_id, n_tokens, quality FROM exact
+        WHERE doc_id NOT IN (SELECT id_b FROM dups)
+          AND doc_id NOT IN (SELECT id_b FROM pdups)
+    """)
     sample_sql = """
         SELECT doc_id, source FROM (
           SELECT doc_id, source, row_number() OVER (
@@ -1011,6 +1062,7 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "curation": curation_sql,
+        "multimodal_curation": multimodal_sql,
         "sample_stratified": sample_sql,
         "s2_cells": s2_sql,
         "simhash": simhash_sql,

@@ -26,6 +26,11 @@ def main() -> None:
     ap.add_argument("--root", required=True, help="store root directory")
     ap.add_argument("--job-id", required=True)
     ap.add_argument("--with-bytes", action="store_true")
+    ap.add_argument("--bloom-col", default=None,
+                    help="also build the manifest Bloom id index on this column")
+    ap.add_argument("--sketch-col", default=None,
+                    help="also fold an HLL cardinality sketch of this column "
+                         "into <root>/_sketch_<col>")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -44,9 +49,18 @@ def main() -> None:
 
     def _write():
         prepared = ingest_fused(images)
-        return store.write_partitioned(prepared, args.root, args.job_id)
+        return store.write_partitioned(prepared, args.root, args.job_id,
+                                       bloom_col=args.bloom_col)
 
     doc = store.run_step(args.root, args.job_id, "ingest-write", _write)
+    if args.sketch_col:
+        from laji_pygeoapi_spark.operators.sketch import update_hll_store
+
+        def _sketch():
+            update_hll_store(spark, images, f"{args.root}/_sketch_{args.sketch_col}",
+                             args.sketch_col)
+            return True
+        store.run_step(args.root, args.job_id, "ingest-sketch", _sketch)
     dt = time.time() - t0
     out = {"job_id": args.job_id, "sec": round(dt, 2),
            "resumed_noop": doc is None,

@@ -68,3 +68,38 @@ def stratified_sample(df: DataFrame, quota: int, strata_col: str = "source",
     w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
     return (df.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= quota).drop("_rn"))
+
+
+def multimodal_curate(df: DataFrame, lang: str = "en", min_quality: float = 0.6,
+                      jaccard_threshold: float = 0.7, max_hamming: int = 8,
+                      text_col: str = "text", phash_col: str = "phash",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Cross-modal curation for image+caption corpora: a row is dropped if
+    it is a near-duplicate in EITHER modality — caption MinHash+verify OR
+    image perceptual-hash Hamming — after the cheap row-local filters and
+    exact text dedup.  The union drop-set is how multimodal training sets
+    are actually cleaned (a re-encoded image with a paraphrased caption
+    escapes either detector alone ~half the time).
+
+    Same scale shape as :func:`curate`: both near-dup stages are
+    bounded-bucket LSH equi-joins over the persisted survivor set — no
+    all-pairs anywhere; the image stage adds one banded self-join keyed on
+    16-bit phash chunks (``dedup.phash_neardup``)."""
+    scored = TX.profile(df.select(id_col, text_col, phash_col), text_col)
+    kept = scored.filter((F.col("lang_pred") == lang)
+                         & (F.col("quality") >= min_quality))
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    exact = (kept.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1).drop("_rn"))
+    exact = exact.persist()
+    text_dups = DD.minhash_pairs_verified(exact, text_col=text_col,
+                                          id_col=id_col,
+                                          threshold=jaccard_threshold)
+    img_dups = DD.phash_neardup(exact.select(id_col, phash_col),
+                                max_hamming=max_hamming,
+                                phash_col=phash_col, id_col=id_col)
+    drop = (text_dups.select(F.col("id_b").alias(id_col))
+            .unionByName(img_dups.select(F.col("id_b").alias(id_col)))
+            .distinct())
+    return (exact.join(drop, id_col, "left_anti")
+                 .select(id_col, "n_tokens", "quality"))
