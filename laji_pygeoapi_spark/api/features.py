@@ -162,6 +162,37 @@ def datetime_predicate(datetime_range: str, time_col: str = "Keruu_aloitus_pvm",
     return pred if pred is not None else F.lit(True)
 
 
+def bbox_crs_of(bbox) -> str:
+    """The reference's bbox-CRS auto-detection (``convert_api_filters.py:
+    process_bbox``): values inside WGS84 ranges are CRS84; anything else is
+    EUREF-TM35FIN metres (EPSG:3067)."""
+    minx, miny, maxx, maxy = bbox
+    if (-180 <= minx <= 180 and -90 <= miny <= 90
+            and -180 <= maxx <= 180 and -90 <= maxy <= 90):
+        return "CRS84"
+    return "EPSG:3067"
+
+
+def tm35fin_bbox_polygon(bbox, densify: int = 64) -> bytes:
+    """A TM35FIN rectangle as a 4326 WKB polygon: each edge densified with
+    ``densify`` points before the inverse Karney transform, because a
+    straight line in projected metres is a curve in lon/lat — corner-only
+    transformation would mis-classify points near the edges."""
+    import numpy as np
+
+    from ..kernels import crs as CK
+    from ..kernels import wkb as W
+    e0, n0, e1, n1 = bbox
+    t = np.linspace(0.0, 1.0, densify, endpoint=False)
+    es = np.concatenate([e0 + (e1 - e0) * t, np.full_like(t, e1),
+                         e1 - (e1 - e0) * t, np.full_like(t, e0)])
+    ns = np.concatenate([np.full_like(t, n0), n0 + (n1 - n0) * t,
+                         np.full_like(t, n1), n1 - (n1 - n0) * t])
+    lon, lat = CK.tm35fin_to_wgs84(es, ns)
+    shell = np.stack([lon, lat], axis=1)
+    return W.dumps(W.polygon(shell))
+
+
 def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
           datetime_range: str | None = None,
           properties: list[tuple[str, str]] | None = None,
@@ -206,6 +237,17 @@ def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
     back to a real count automatically.
     """
     limit, offset = validate_paging(limit, offset)
+    if bbox is not None and bbox_crs_of(bbox) == "EPSG:3067":
+        # reference parity (process_bbox): out-of-WGS84-range bbox values
+        # ARE TM35FIN metres.  The stored table is 4326, so the metric
+        # rectangle becomes a densified 4326 polygon through the inverse
+        # Karney series and runs through the exact intersects path
+        # (envelope prefilter + partition cover + vectorized PIP).
+        if intersects is not None:
+            raise QueryError("a TM35FIN bbox and an intersects polygon "
+                             "cannot be combined")
+        intersects = tm35fin_bbox_polygon(bbox)
+        bbox = None
     if after_id is not None:
         if sortby:
             raise QueryError("after_id keyset paging uses the default id "

@@ -369,3 +369,31 @@ def test_select_properties_prunes_scan(spark, tmp_path):
     rs = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "a:" in rs and "doc_id:" in rs
     assert "b:" not in rs and "c:" not in rs
+
+
+def test_items_tm35fin_bbox_autodetect(spark, occ):
+    """Reference process_bbox parity: bbox values outside WGS84 ranges ARE
+    TM35FIN metres.  Ground truth = forward-transform every point and
+    range-test in metres; the engine must return exactly that set via its
+    densified inverse-polygon intersects path."""
+    import numpy as np
+    from laji_pygeoapi_spark.kernels import crs as CK
+    pts = occ.select("Paikallinen_tunniste", "lon", "lat").collect()
+    lon = np.array([r["lon"] for r in pts])
+    lat = np.array([r["lat"] for r in pts])
+    e, n = CK.wgs84_to_tm35fin(lon, lat)
+    # a metric box around the data median, guaranteed non-empty + partial
+    e0, e1 = np.percentile(e, 25), np.percentile(e, 70)
+    n0, n1 = np.percentile(n, 30), np.percentile(n, 75)
+    want = {r["Paikallinen_tunniste"]
+            for r, ei, ni in zip(pts, e, n)
+            if e0 <= ei <= e1 and n0 <= ni <= n1}
+    assert 0 < len(want) < len(pts)
+    page, matched = API.items(occ, bbox=(float(e0), float(n0), float(e1), float(n1)),
+                              limit=10_000, count_matched=True)
+    got = {r["Paikallinen_tunniste"] for r in page.collect()}
+    assert got == want
+    assert matched == len(want)
+    # CRS84 bboxes are untouched by the auto-detect
+    assert API.bbox_crs_of((24.5, 59.9, 28.5, 62.2)) == "CRS84"
+    assert API.bbox_crs_of((float(e0), float(n0), float(e1), float(n1))) == "EPSG:3067"
