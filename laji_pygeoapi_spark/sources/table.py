@@ -154,11 +154,11 @@ def bloom_words(value, bits: int, k: int = _BLOOM_K) -> list[int]:
     if isinstance(value, int):
         base = h32(value)
     else:
-        # match key_expr's xxhash64 for non-integral keys
-        from pyspark.sql import SparkSession
-        spark = SparkSession.getActiveSession()
-        base = h32(spark.range(1).select(
-            F.xxhash64(F.lit(value))).first()[0])
+        # key_expr's xxhash64, computed DRIVER-side (kernels.xxh is
+        # bit-exact with the JVM) — a GET must not run a Spark job just to
+        # hash its own key
+        from ..kernels.xxh import xxhash64_spark
+        base = h32(xxhash64_spark(str(value)))
     out = []
     for i in range(k):
         x = (base + i * 0x9E3779B9) % 2**32

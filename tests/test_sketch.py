@@ -162,3 +162,30 @@ def test_collection_metadata_approx_distinct(spark):
         est = m["approx_distinct"]["Havainnon_tunniste"]
         true = exact[m["collection"]]
         assert abs(est - true) / max(true, 1) < 0.15, (m["collection"], est, true)
+
+
+def test_xxh64_matches_spark(spark):
+    """kernels.xxh is bit-exact with F.xxhash64 on strings across every
+    length branch (empty, tails 1-7, 4-byte, stripes ≥32) and non-ASCII —
+    the driver-side hash the bloom GET probe depends on."""
+    from laji_pygeoapi_spark.kernels.xxh import xxhash64_spark
+    tests = ["", "a", "ab", "abc", "abcd", "x" * 7, "y" * 8, "q" * 12,
+             "z" * 31, "w" * 32, "v" * 33, "long " * 40,
+             "IMG_000000042", "Paikallinen#123", "ä ö ü — unicode ✓"]
+    df = spark.createDataFrame([(s,) for s in tests], "s: string")
+    got = {r["s"]: r["h"] for r in
+           df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for s in tests:
+        assert xxhash64_spark(s) == got[s], repr(s)
+
+
+def test_bloom_probe_is_jobless(spark, tmp_path):
+    """A string-key bloom probe computes its positions without launching
+    any Spark job (the serving-latency property)."""
+    from laji_pygeoapi_spark.sources.table import bloom_words
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    words = bloom_words("IMG_000000042", 8192)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(words) == 4 and all(0 <= w < 128 for w, _ in words)
+    assert before == after, "bloom_words launched a Spark job"
