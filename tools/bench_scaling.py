@@ -30,6 +30,7 @@ from concurrent.futures import ProcessPoolExecutor
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 ROWS = int(sys.argv[2]) if len(sys.argv) > 2 else 250_000
+WORKLOAD = sys.argv[3] if len(sys.argv) > 3 else "flagship"
 N4 = 4 * N
 
 
@@ -97,8 +98,56 @@ print(json.dumps({"cpus": int(cpus), "rows": n, "sec": round(best, 3),
 """
 
 
+# Second workload (the north rule's scaling criterion should not rest on
+# one pipeline shape): the TEXT-CURATION pipeline — profile + filters +
+# exact dedup window + fused MinHash near-dup — whose cost profile is
+# shuffle/window/LSH-join rather than the flagship's mapInPandas decode.
+# Input: documents replicated with remapped ids and a per-replica suffix
+# token (so exact dedup keeps them distinct), pre-materialized once.
+WORKER_CURATION = r"""
+import json, os, sys, time
+sys.path.insert(0, "/root/repo")
+cpus = sys.argv[1]
+rows = int(sys.argv[2])
+os.environ["SPARK_GRAFT_CPUS"] = cpus
+from laji_pygeoapi_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(int(cpus), 4))
+spark.sparkContext.setLogLevel("ERROR")
+src = f"/root/repo/.data/bench_docs_{rows}"
+if not os.path.exists(os.path.join(src, "_SUCCESS")):
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n_base = base.count()
+    reps = max(1, rows // n_base)
+    rep = spark.range(reps).select(F.col("id").alias("rep"))
+    (base.crossJoin(rep)
+         .select((F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+                 F.concat(F.col("text"), F.lit(" replica"),
+                          F.col("rep").cast("string")).alias("text"),
+                 "source")
+         .repartition(32)
+         .write.mode("overwrite").parquet(src))
+spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+docs = spark.read.parquet(src)
+n = docs.count()
+from laji_pygeoapi_spark.plans.curation import curate
+def run_once():
+    curate(docs).write.format("noop").mode("overwrite").save()
+curate(docs.limit(2000)).write.format("noop").mode("overwrite").save()  # warm
+best = None
+for _ in range(3):
+    t0 = time.time()
+    run_once()
+    dt = time.time() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({"cpus": int(cpus), "rows": n, "sec": round(best, 3),
+                  "rows_per_sec": round(n / best, 1)}))
+"""
+
+
 def run_level(cpus: int) -> dict:
-    out = subprocess.run([sys.executable, "-c", WORKER, str(cpus), str(ROWS)],
+    worker = WORKER_CURATION if WORKLOAD == "curation" else WORKER
+    out = subprocess.run([sys.executable, "-c", worker, str(cpus), str(ROWS)],
                          capture_output=True, text=True, check=False)
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
@@ -113,8 +162,11 @@ def main() -> None:
     high = run_level(N4)
     hw_ceiling = alu_n4 / (4.0 * alu_n)
     eff = high["rows_per_sec"] / (4.0 * low["rows_per_sec"])
+    desc = ("text-curation (profile+dedup+minhash) throughput scaling"
+            if WORKLOAD == "curation"
+            else "image decode+spatial-join+tile throughput scaling")
     result = {
-        "metric": f"image decode+spatial-join+tile throughput scaling, local[{N}] vs local[{N4}]",
+        "metric": f"{desc}, local[{N}] vs local[{N4}]",
         "rows": low["rows"],
         f"local{N}": low, f"local{N4}": high,
         "efficiency": round(eff, 3),
@@ -130,7 +182,8 @@ def main() -> None:
             f.write("# BENCH — scaling runs\n\n"
                     "| N | 4N | rows | thr(N) r/s | thr(4N) r/s | eff | hw ceiling | eng/hw | verdict |\n"
                     "|---|----|------|-----------|------------|-----|-----------|--------|---------|\n")
-        f.write(f"| {N} | {N4} | {low['rows']} | {low['rows_per_sec']:.0f} | "
+        tag = "" if WORKLOAD == "flagship" else f" ({WORKLOAD})"
+        f.write(f"| {N} | {N4} | {low['rows']}{tag} | {low['rows_per_sec']:.0f} | "
                 f"{high['rows_per_sec']:.0f} | {eff:.3f} | {hw_ceiling:.3f} | "
                 f"{result['engine_vs_hw']} | {'PASS' if eff >= 0.8 else 'FAIL'} |\n")
 
