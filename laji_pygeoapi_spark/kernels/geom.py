@@ -1021,3 +1021,44 @@ def polygonize_mask(mask: np.ndarray) -> list[np.ndarray]:
             keep.append(len(arr) - 1)
             rings.append(arr[keep])
     return rings
+
+
+def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker simplification of a CLOSED ring (first == last).
+
+    Classic recursive-split formulation, iterative with an explicit stack
+    and numpy-vectorized perpendicular distances per segment.  Every
+    dropped vertex lies within ``tol`` of the line through its retained
+    chord endpoints — the standard cartographic bound a vector-tile server
+    applies per zoom (tolerance ≈ half a pixel at the serving zoom).
+    Returns the input unchanged when already minimal (≤ 4 points) or when
+    simplification would collapse below a valid ring."""
+    pts = np.asarray(ring, dtype=np.float64)
+    n = len(pts)
+    if n <= 4:
+        return pts
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = pts[i + 1:j]
+        a, b = pts[i], pts[j]
+        ab = b - a
+        l2 = float(ab @ ab)
+        if l2 == 0.0:
+            d = np.hypot(seg[:, 0] - a[0], seg[:, 1] - a[1])
+        else:
+            # unclamped perpendicular distance to the chord line
+            cross = (seg[:, 0] - a[0]) * ab[1] - (seg[:, 1] - a[1]) * ab[0]
+            d = np.abs(cross) / np.sqrt(l2)
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    out = pts[keep]
+    return out if len(out) >= 4 else pts

@@ -139,7 +139,8 @@ VECTORIZE_SCHEMA = T.StructType([
 
 
 def vectorize_tiles(tiles: DataFrame, luminance_threshold: float = 8.0,
-                    tile_col: str = "tile_png") -> DataFrame:
+                    tile_col: str = "tile_png",
+                    simplify_tol: float | None = None) -> DataFrame:
     """Raster -> VECTOR: polygonize the occupied region of each rendered
     tile back into lon/lat polygons (the GDAL-polygonize analog closing the
     north rule's raster<->vector loop).
@@ -148,7 +149,12 @@ def vectorize_tiles(tiles: DataFrame, luminance_threshold: float = 8.0,
     polygonization (kernels.geom.polygonize_mask, boundary-edge stitching)
     -> pixel corners mapped through the exact inverse WebMercator of this
     tile row -> WKB polygons (holes follow ring orientation).  One output
-    row per outer ring; embarrassingly parallel over tiles."""
+    row per outer ring; embarrassingly parallel over tiles.
+
+    ``simplify_tol`` (PIXEL units): Douglas-Peucker each ring before the
+    lon/lat mapping — the per-zoom cartographic generalization a vector-
+    tile server applies (≈0.5 px keeps the rendering pixel-identical while
+    cutting vertex counts; ``kernels.geom.simplify_ring``)."""
     from collections.abc import Iterator
 
     from ..kernels import geom as G
@@ -183,12 +189,16 @@ def vectorize_tiles(tiles: DataFrame, luminance_threshold: float = 8.0,
                 # the lon/lat flip they are CCW
                 for k, (apx, shell) in enumerate(sorted(shells, reverse=True,
                                                         key=lambda t: t[0])):
-                    shell_ll = to_lonlat(shell)
+                    out_shell = (G.simplify_ring(shell, simplify_tol)
+                                 if simplify_tol else shell)
+                    shell_ll = to_lonlat(out_shell)
                     my_holes = []
                     for h in holes:
                         cx, cy = h[:-1, 0].mean(), h[:-1, 1].mean()
                         if G.point_in_polygon(cx, cy, ("Polygon", [shell])):
-                            my_holes.append(to_lonlat(h))
+                            my_holes.append(to_lonlat(
+                                G.simplify_ring(h, simplify_tol)
+                                if simplify_tol else h))
                     out["zoom"].append(z)
                     out["x"].append(tx)
                     out["y"].append(ty)

@@ -189,3 +189,64 @@ def test_intersection_exact_cases():
     for g, area in cases:
         assert g is not None and abs(abs(geom._geom_area(g)) - area) < 1e-9, \
             (g and g[0], g and geom._geom_area(g), area)
+
+
+def test_simplify_ring_douglas_peucker():
+    """Collinear vertices drop at tol=0+; deviations above tol survive;
+    every dropped vertex is within tol of the simplified outline; rings
+    stay closed and valid."""
+    import numpy as np
+    from laji_pygeoapi_spark.kernels import geom as G
+    # square with collinear edge midpoints -> exactly the 4 corners survive
+    sq = np.array([[0, 0], [1, 0], [2, 0], [2, 1], [2, 2], [1, 2],
+                   [0, 2], [0, 1], [0, 0]], dtype=float)
+    out = G.simplify_ring(sq, 0.01)
+    assert [tuple(p) for p in out] == [(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]
+    # a bump above tol survives, below tol is flattened
+    bump = np.array([[0, 0], [1, 0.3], [2, 0], [2, 2], [0, 2], [0, 0]])
+    assert len(G.simplify_ring(bump, 0.1)) == len(bump)
+    assert len(G.simplify_ring(bump, 0.5)) == 5
+    # random star ring: every ORIGINAL vertex within tol of the kept chords
+    rng = np.random.RandomState(7)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, 80))
+    rad = 10 + rng.uniform(-0.4, 0.4, 80)
+    ring = np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=1)
+    ring = np.vstack([ring, ring[:1]])
+    tol = 0.6
+    simp = G.simplify_ring(ring, tol)
+    assert simp[0].tolist() == simp[-1].tolist()  # closed
+    assert 4 <= len(simp) < len(ring)
+
+    def seg_dist(p, a, b):
+        ab = b - a
+        l2 = ab @ ab
+        t = np.clip(((p - a) @ ab) / l2, 0, 1) if l2 else 0.0
+        return float(np.hypot(*(p - (a + t * ab))))
+    for p in ring:
+        d = min(seg_dist(p, simp[i], simp[i + 1]) for i in range(len(simp) - 1))
+        assert d <= tol * 1.5 + 1e-9, d
+
+
+def test_vectorize_tiles_simplify(spark):
+    """simplify_tol shrinks ring vertex counts without changing the
+    polygon set or moving any boundary by more than the tolerance."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from laji_pygeoapi_spark.kernels import codec, wkb as W
+    from laji_pygeoapi_spark.operators.tiling import vectorize_tiles
+    # one synthetic tile: a filled diamond (mask edges are staircases —
+    # exactly what simplification collapses)
+    size = 64
+    yy, xx = np.mgrid[0:size, 0:size]
+    mask = (np.abs(xx - 32) + np.abs(yy - 32)) < 20
+    img = np.zeros((size, size, 3), dtype=np.uint8)
+    img[mask] = 200
+    png = codec.encode(img, "png")
+    tiles = spark.createDataFrame([(9, 290, 148, bytearray(png))],
+                                  "zoom: int, x: long, y: long, tile_png: binary")
+    plain = vectorize_tiles(tiles).collect()
+    simp = vectorize_tiles(tiles, simplify_tol=0.75).collect()
+    assert len(plain) == len(simp) == 1
+    n_plain = len(W.loads(bytes(plain[0]["wkb"]))[1][0])
+    n_simp = len(W.loads(bytes(simp[0]["wkb"]))[1][0])
+    assert n_simp < n_plain / 2, (n_plain, n_simp)
