@@ -256,3 +256,16 @@ def build_pyramid_level(tiles: DataFrame, tile_col: str = "tile_png") -> DataFra
                   .withColumn("py", (F.col("y") / 2).cast("long")))
     return (keyed.groupBy("zoom", "px", "py")
                  .applyInPandas(roll, schema=PYRAMID_SCHEMA))
+
+
+def get_tile(spark, tiles_root: str, zoom: int, x: int, y: int) -> DataFrame:
+    """Single-tile GET over a materialized tile store (the XYZ endpoint a
+    tile server exposes): the store is hive-partitioned by (zoom, x, y)
+    (``streaming.retile``), so the three equality predicates resolve as
+    PartitionFilters — one directory listed, one file read, regardless of
+    pyramid size (plan-gated in tests)."""
+    import os
+
+    df = spark.read.parquet(os.path.join(tiles_root, "data"))
+    return df.filter((F.col("zoom") == zoom) & (F.col("x") == x)
+                     & (F.col("y") == y))

@@ -135,3 +135,28 @@ def test_pyramid_rollup_exact_quadrants(spark):
     assert tuple(img[10, h + 10]) == (0, 180, 0)      # TR
     assert tuple(img[h + 10, 10]) == (0, 0, 160)      # BL
     assert tuple(img[h + 10, h + 10]) == (0, 0, 0)    # missing BR -> black
+
+
+def test_get_tile_partition_pruned(spark, tmp_path):
+    """Single-tile GET: the (zoom,x,y) equality predicates resolve as
+    PartitionFilters over the hive-partitioned tile store — one tile read,
+    store size irrelevant."""
+    import os
+    import pyspark.sql.functions as F
+    from laji_pygeoapi_spark.operators.tiling import get_tile, materialize_tiles
+    from laji_pygeoapi_spark.sources import fixtures
+    imgs = fixtures.images_df(spark, 120, with_bytes=True)
+    tiles = materialize_tiles(imgs, zoom=5)
+    troot = str(tmp_path / "tiles")
+    (tiles.withColumnRenamed("tile_png", "png").withColumnRenamed("png", "tile_png")
+          .write.partitionBy("zoom", "x", "y").parquet(os.path.join(troot, "data")))
+    one = tiles.select("zoom", "x", "y").first()
+    got = get_tile(spark, troot, one["zoom"], one["x"], one["y"])
+    rows = got.collect()
+    assert len(rows) == 1
+    assert rows[0]["x"] == one["x"] and rows[0]["y"] == one["y"]
+    assert len(bytes(rows[0]["tile_png"])) > 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "zoom" in seg and "x" in seg and "y" in seg, seg

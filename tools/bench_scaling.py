@@ -112,7 +112,10 @@ rows = int(sys.argv[2])
 os.environ["SPARK_GRAFT_CPUS"] = cpus
 from laji_pygeoapi_spark.session import get_spark
 from pyspark.sql import functions as F
-spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(int(cpus), 4))
+# shuffle-heavy workload: several tasks PER CORE per shuffle stage, or the
+# higher level runs each shuffle as one straggler-bound wave (the same
+# task-granularity artifact the 8->32 scan fix addressed, round 3)
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(4 * int(cpus), 8))
 spark.sparkContext.setLogLevel("ERROR")
 src = f"/root/repo/.data/bench_docs_{rows}"
 if not os.path.exists(os.path.join(src, "_SUCCESS")):
