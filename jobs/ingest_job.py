@@ -47,8 +47,9 @@ def main() -> None:
 
     t0 = time.time()
 
+    prepared = ingest_fused(images)  # lazy; evaluated by whichever steps run
+
     def _write():
-        prepared = ingest_fused(images)
         return store.write_partitioned(prepared, args.root, args.job_id,
                                        bloom_col=args.bloom_col)
 
@@ -57,7 +58,8 @@ def main() -> None:
         from laji_pygeoapi_spark.operators.sketch import update_hll_store
 
         def _sketch():
-            update_hll_store(spark, images, f"{args.root}/_sketch_{args.sketch_col}",
+            update_hll_store(spark, prepared,
+                             f"{args.root}/_sketch_{args.sketch_col}",
                              args.sketch_col)
             return True
         store.run_step(args.root, args.job_id, "ingest-sketch", _sketch)

@@ -50,6 +50,12 @@ def hash32(col: Column) -> Column:
     xorshift.  All intermediates < 2^59 (no overflow under ANSI mode); the
     same chain is SQL-expressible in DuckDB (see ``__spark_entry__``) and
     numpy-expressible for kernels.
+
+    HOT-PATH WARNING: as a single Column expression the chain duplicates
+    its input subtree at every round (x referenced 2-3x, 6 levels deep →
+    hundreds of nodes evaluated per row).  Row-at-scale operators must use
+    :func:`with_hash32`, which stages each round as its own projection.
+    This form exists for tests and driver-side/one-row uses.
     """
     k = col.cast("long")
     # pmod keeps every intermediate non-negative for NEGATIVE keys too

@@ -117,6 +117,12 @@ from pyspark.sql import functions as F
 # task-granularity artifact the 8->32 scan fix addressed, round 3)
 spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(4 * int(cpus), 8))
 spark.sparkContext.setLogLevel("ERROR")
+# at toy scale AQE's 64MB advisory target coalesces every shuffle of this
+# ~10MB corpus to ONE partition — a serial stage at every level.  At real
+# scale partitions sit at the target size anyway; a small advisory keeps
+# the bench measuring the engine, not an artifact of tiny input.
+spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
 src = f"/root/repo/.data/bench_docs_{rows}"
 if not os.path.exists(os.path.join(src, "_SUCCESS")):
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
