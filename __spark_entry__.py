@@ -624,6 +624,66 @@ def q_curation(spark, sf_dir):
     return curate(docs, lang="en", min_quality=0.6, jaccard_threshold=0.7)
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing (operators/text.redact_pii): emails / IPv4s / intl
+    phone numbers -> typed placeholders + per-kind counts, patterns
+    restricted to Java-regex ∩ RE2 semantics so the DuckDB twin is exact.
+    PII is synthesized deterministically onto the corpus (the driver tables
+    carry none) — redacted text AND counts are hash-compared."""
+    from laji_pygeoapi_spark.operators import text as TXO
+    docs = _tbl(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(did % 5 == 0, F.concat(F.lit(" contact user"), did.cast("string"),
+                                      F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                                      F.lit(".17"))).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.concat(F.lit(" call +358401234"),
+                                       (did % 100).cast("string"))).otherwise(F.lit("")))
+    out = TXO.redact_pii(docs.withColumn("text", t))
+    return out.select("doc_id", F.col("n_email").cast("long").alias("n_email"),
+                      F.col("n_ip").cast("long").alias("n_ip"),
+                      F.col("n_phone").cast("long").alias("n_phone"),
+                      "text_redacted")
+
+
+def q_gopher_signals(spark, sf_dir):
+    """Gopher/Dolma repetition filters: duplicate-line fraction +
+    top-bigram fraction per document (sentence-per-line input synthesized
+    by splitting on '. ').  Line part is a pure projection; bigram part is
+    explode + two map-side-combined hash aggs."""
+    from laji_pygeoapi_spark.operators import text as TXO
+    docs = (_tbl(spark, sf_dir, "documents")
+            .withColumn("text", F.regexp_replace("text", r"[.] ", ".\n")))
+    lines = TXO.gopher_line_signals(docs).select(
+        "doc_id", F.col("n_lines").cast("long").alias("n_lines"), "dup_line_frac")
+    bg = TXO.gopher_bigram_signal(docs)
+    return lines.join(bg, "doc_id").select(
+        "doc_id", "n_lines", "dup_line_frac", "top_bigram_frac",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"))
+
+
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination (dedup.ngram_overlap): train docs sharing
+    any word 8-gram with the benchmark subset (doc_id % 97 == 0).
+    Contamination is PLANTED deterministically (benchmark docs 0 and 97
+    appended to every 13th / 17th doc), so the flag set is non-trivial;
+    the engine joins 64-bit gram hashes (broadcast), the oracle joins the
+    raw strings — agreement validates the hash path too."""
+    docs = _tbl(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") == 0).select("text").first()["text"]
+    b97 = docs.filter(F.col("doc_id") == 97).select("text").first()["text"]
+    did = F.col("doc_id")
+    t = F.concat(F.col("text"),
+                 F.when(did % 13 == 0, F.concat(F.lit(" "), F.lit(b0))).otherwise(F.lit("")),
+                 F.when(did % 17 == 0, F.concat(F.lit(" "), F.lit(b97))).otherwise(F.lit("")))
+    seeded = docs.withColumn("text", t)
+    bench = seeded.filter(did % 97 == 0)
+    train = seeded.filter(did % 97 != 0)
+    return DD.ngram_overlap(train, bench, n=8)
+
+
 def q_multimodal_curation(spark, sf_dir):
     """Cross-modal curation (plans.curation.multimodal_curate): drop a row
     when EITHER its caption is a verified MinHash near-dup OR its image
@@ -714,6 +774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "curation": q_curation,
         "multimodal_curation": q_multimodal_curation,
+        "redact_pii": q_redact_pii,
+        "gopher_signals": q_gopher_signals,
+        "decontamination": q_decontamination,
         "sample_stratified": q_sample_stratified,
         "tm35fin": q_tm35fin,
         "geojson": q_geojson,
@@ -1060,9 +1123,71 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY (doc_id * 2654435761) % 1048576, doc_id) AS rn
           FROM documents) WHERE rn <= 10
     """
+    _email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _ip = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    _phone = r"\+\d[\d ()-]{6,}\d"
+    redact_sql = f"""
+        WITH t0 AS (SELECT doc_id, text
+            || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+            || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0 THEN ' call +358401234' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS t
+          FROM documents),
+        s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(t, '{_email}')) AS BIGINT) AS n_email,
+                      regexp_replace(t, '{_email}', '[EMAIL]', 'g') AS t FROM t0),
+        s2 AS (SELECT doc_id, n_email, CAST(len(regexp_extract_all(t, '{_ip}')) AS BIGINT) AS n_ip,
+                      regexp_replace(t, '{_ip}', '[IP]', 'g') AS t FROM s1),
+        s3 AS (SELECT doc_id, n_email, n_ip, CAST(len(regexp_extract_all(t, '{_phone}')) AS BIGINT) AS n_phone,
+                      regexp_replace(t, '{_phone}', '[PHONE]', 'g') AS t FROM s2)
+        SELECT doc_id, n_email, n_ip, n_phone, t AS text_redacted FROM s3
+    """
+    gopher_sql = f"""
+        WITH d0 AS (SELECT doc_id, regexp_replace(text, '[.] ', '.' || chr(10), 'g') AS text
+                    FROM documents),
+        li AS (SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)),
+                                                         s -> trim(s)), s -> s <> '') AS L
+               FROM d0),
+        lsig AS (SELECT doc_id, CAST(len(L) AS BIGINT) AS n_lines,
+                        CASE WHEN len(L) > 0
+                             THEN round((len(L) - len(list_distinct(L))) * 1.0 / len(L), 6)
+                             ELSE 0.0 END AS dup_line_frac
+                 FROM li),
+        tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM d0),
+        bg AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN list_transform(
+                       range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+                     ELSE [array_to_string(t, ' ')] END AS b
+               FROM tok),
+        ex AS (SELECT doc_id, unnest(b) AS g FROM bg),
+        per AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY 1, 2),
+        bsig AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac,
+                        CAST(sum(c) AS BIGINT) AS n_bigrams
+                 FROM per GROUP BY doc_id)
+        SELECT l.doc_id, n_lines, dup_line_frac, top_bigram_frac, n_bigrams
+        FROM lsig l JOIN bsig b ON l.doc_id = b.doc_id
+    """
+    decontamination_sql = f"""
+        WITH d2 AS (SELECT doc_id, text
+            || CASE WHEN doc_id % 13 = 0 THEN ' ' || (SELECT text FROM documents WHERE doc_id = 0) ELSE '' END
+            || CASE WHEN doc_id % 17 = 0 THEN ' ' || (SELECT text FROM documents WHERE doc_id = 97) ELSE '' END AS text
+          FROM documents),
+        tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM d2),
+        g0 AS (SELECT doc_id, unnest(list_distinct(
+                 CASE WHEN len(t) >= 8 THEN list_transform(range(1, len(t) - 6),
+                        i -> array_to_string(t[i:i+7], ' '))
+                      ELSE [array_to_string(t, ' ')] END)) AS g
+               FROM tok),
+        gg AS (SELECT doc_id, g FROM g0 WHERE g <> ''),
+        bench AS (SELECT DISTINCT g FROM gg WHERE doc_id % 97 = 0),
+        hits AS (SELECT d.doc_id, d.g FROM gg d JOIN bench b ON d.g = b.g
+                 WHERE d.doc_id % 97 <> 0)
+        SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_overlaps
+        FROM hits GROUP BY doc_id
+    """
     return {
         "curation": curation_sql,
         "multimodal_curation": multimodal_sql,
+        "redact_pii": redact_sql,
+        "gopher_signals": gopher_sql,
+        "decontamination": decontamination_sql,
         "sample_stratified": sample_sql,
         "s2_cells": s2_sql,
         "simhash": simhash_sql,

@@ -491,3 +491,33 @@ def embedding_neardup(df: DataFrame, vec_col: str = "embedding",
              .withColumn("cosine", cosine_expr(F.col("v_a"), F.col("v_b")))
              .filter(F.col("cosine") >= threshold)
              .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
+def ngram_overlap(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Benchmark DECONTAMINATION: flag training documents sharing any word
+    ``n``-gram with an evaluation set (the standard pre-training hygiene
+    pass — contaminated docs leak benchmark answers into the model).
+
+    Scale shape: the benchmark side is small by nature — its distinct
+    n-gram HASHES broadcast (8 bytes each, not the strings); the corpus
+    side stages tokens once, explodes distinct n-grams, and broadcast-
+    semi-joins on the 64-bit hash.  Returns (id, n_overlaps ≥ 1); one
+    shuffle (the per-doc count), no benchmark rescans.  String-collision
+    risk is 2^-64 per pair (the DuckDB oracle joins the raw strings —
+    agreement also validates the hash path)."""
+    from . import text as TXO
+
+    def grams(df):
+        staged = (df.select(id_col, text_col)
+                    .withColumn("_toks", TXO.tokenize(F.col(text_col))))
+        g = F.array_distinct(TXO.shingles_from_tokens(F.col("_toks"), n))
+        ex = staged.select(id_col, F.explode(g).alias("g"))
+        return ex.filter(F.col("g") != "")
+
+    bench_hashes = (grams(benchmark).select(F.xxhash64("g").alias("gh"))
+                    .distinct())
+    doc_grams = grams(docs).withColumn("gh", F.xxhash64("g"))
+    hits = doc_grams.join(F.broadcast(bench_hashes), "gh")
+    return (hits.groupBy(id_col)
+                .agg(F.countDistinct("gh").alias("n_overlaps")))

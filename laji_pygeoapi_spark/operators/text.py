@@ -140,3 +140,65 @@ def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         "fingerprint": fingerprint64(t),
     })
     return out.drop("_ntok", *[f"_hits_{lang}" for lang in order])
+
+
+# --------------------------------------------------- curation-filter suite
+
+# PII patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, \b — no
+# lookaround.  Order matters and is part of the contract: counts are taken
+# on the PROGRESSIVELY redacted text, so an IP inside an already-redacted
+# email is never double-counted.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+\d[\d ()-]{6,}\d", "[PHONE]"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing (the C4/Dolma-style pre-training pass): replace
+    emails / IPv4s / international phone numbers with typed placeholders
+    and count each kind.  Pure JVM regexp expressions, staged per pattern
+    so each redaction round is computed once (chained-expression trap)."""
+    cur = F.col(text_col)
+    df = df.withColumn("_red", cur)
+    for name, pat, repl in PII_PATTERNS:
+        df = df.withColumn(f"n_{name}", F.regexp_count(F.col("_red"), F.lit(pat)))
+        df = df.withColumn("_red", F.regexp_replace(F.col("_red"), pat, repl))
+    return df.withColumnRenamed("_red", "text_redacted")
+
+
+def gopher_line_signals(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition signals, line part (Gopher/Dolma repetition
+    rules): non-empty line count and duplicate-line fraction.  Pure
+    projection — no shuffle."""
+    lines = F.filter(F.transform(F.split(F.col(text_col), "\n"),
+                                 lambda s: F.trim(s)), lambda s: s != "")
+    df = df.withColumn("_lines", lines)
+    n = F.size(F.col("_lines"))
+    nd = F.size(F.array_distinct(F.col("_lines")))
+    return (df.withColumn("n_lines", n)
+              .withColumn("dup_line_frac",
+                          F.when(n > 0, F.round((n - nd) / n, 6))
+                           .otherwise(F.lit(0.0)))
+              .drop("_lines"))
+
+
+def gopher_bigram_signal(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Top-bigram fraction (Gopher rule: a document dominated by one
+    repeated 2-gram is boilerplate): max bigram count / total bigrams.
+    Shape: stage tokens -> bigrams, explode, two hash aggregations keyed by
+    (doc, bigram) then doc — map-side combined, linear in corpus size."""
+    staged = (df.select(id_col, text_col)
+                .withColumn("_toks", tokenize(F.col(text_col)))
+                .withColumn("_bg", shingles_from_tokens(F.col("_toks"), 2)))
+    ex = staged.select(id_col, F.explode("_bg").alias("bg"))
+    per = ex.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
+    return (per.groupBy(id_col)
+               .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
+                    F.sum("c").alias("n_bigrams")))
+
+
