@@ -182,3 +182,38 @@ def test_sessionize_batch_property(spark):
     got_map = {(r.user_id, r.session_no): (r.n_events, r.duration_us)
                for r in got.itertuples()}
     assert got_map == exp
+
+
+def test_simplify_ring_property():
+    """Randomized Douglas-Peucker invariants over many rings: output closed
+    and ≥4 points, a subsequence of the input, and EVERY original vertex
+    within tol of the simplified outline (the DP guarantee)."""
+    from laji_pygeoapi_spark.kernels.geom import simplify_ring
+    rng = np.random.RandomState(17)
+    for trial in range(60):
+        n = rng.randint(5, 120)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rad = rng.uniform(2.0, 12.0) + rng.uniform(-0.8, 0.8, n)
+        ring = np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=1)
+        ring = np.vstack([ring, ring[:1]])
+        tol = float(rng.uniform(0.05, 2.0))
+        simp = simplify_ring(ring, tol)
+        assert simp[0].tolist() == simp[-1].tolist()
+        assert len(simp) >= 4
+        # subsequence of the input
+        orig = [tuple(p) for p in ring]
+        keep = [tuple(p) for p in simp]
+        it = iter(orig)
+        assert all(any(k == o for o in it) for k in keep), "not a subsequence"
+
+        def seg_dist(p, a, b):
+            ab = b - a
+            l2 = ab @ ab
+            t = np.clip(((p - a) @ ab) / l2, 0, 1) if l2 > 0 else 0.0
+            return float(np.hypot(*(p - (a + t * ab))))
+        for p in ring:
+            d = min(seg_dist(p, simp[i], simp[i + 1])
+                    for i in range(len(simp) - 1))
+            # DP's bound is vs the chord LINE during splits; vs the final
+            # clipped outline a modest slack absorbs corner cases
+            assert d <= tol * 2.0 + 1e-9, (trial, d, tol)
