@@ -684,6 +684,19 @@ def q_decontamination(spark, sf_dir):
     return DD.ngram_overlap(train, bench, n=8)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING (dedup.connected_components): transitive
+    closure of the verified MinHash pairs via min-label propagation — an
+    iterative Spark algorithm, yet fully oracled: the DuckDB twin computes
+    the same components with a recursive CTE over the same exact
+    set-similarity edge list.  Output (doc_id, component-min-id)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    pairs = DD.minhash_pairs_verified(docs, num_perm=64, bands=16, threshold=0.7)
+    cc = DD.connected_components(pairs)
+    return cc.select(F.col("id").alias("doc_id"),
+                     F.col("comp").alias("component"))
+
+
 def q_multimodal_curation(spark, sf_dir):
     """Cross-modal curation (plans.curation.multimodal_curate): drop a row
     when EITHER its caption is a verified MinHash near-dup OR its image
@@ -773,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "ivf_topk": q_ivf_topk,
         "curation": q_curation,
+        "dedup_clusters": q_dedup_clusters,
         "multimodal_curation": q_multimodal_curation,
         "redact_pii": q_redact_pii,
         "gopher_signals": q_gopher_signals,
@@ -1184,6 +1198,30 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "curation": curation_sql,
+        "dedup_clusters": """
+        WITH RECURSIVE tok AS (SELECT doc_id, __TOK__ AS t FROM documents),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                        range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))
+                      ELSE [array_to_string(t, ' ')] END AS s
+               FROM tok WHERE len(t) > 0),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        ns AS (SELECT doc_id, len(s) AS n FROM sh),
+        edges AS (SELECT id_a, id_b
+                  FROM inter JOIN ns x ON x.doc_id = id_a JOIN ns y ON y.doc_id = id_b
+                  WHERE i * 1.0 / (x.n + y.n - i) >= 0.7),
+        und AS (SELECT id_a AS src, id_b AS dst FROM edges
+                UNION SELECT id_b, id_a FROM edges),
+        cc AS (
+          SELECT DISTINCT src AS id, src AS comp FROM und
+          UNION
+          SELECT u.dst AS id, cc.comp FROM cc JOIN und u ON cc.id = u.src
+        )
+        SELECT id AS doc_id, min(comp) AS component FROM cc GROUP BY id
+    """.replace("__TOK__", _TOKENS_SQL),
         "multimodal_curation": multimodal_sql,
         "redact_pii": redact_sql,
         "gopher_signals": gopher_sql,

@@ -521,3 +521,49 @@ def ngram_overlap(docs: DataFrame, benchmark: DataFrame, n: int = 8,
     hits = doc_grams.join(F.broadcast(bench_hashes), "gh")
     return (hits.groupBy(id_col)
                 .agg(F.countDistinct("gh").alias("n_overlaps")))
+
+
+def connected_components(edges: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", vertices: DataFrame | None = None,
+                         max_iter: int = 20) -> DataFrame:
+    """Connected components over a pair list — the TRANSITIVE CLOSURE step
+    every near-dup pipeline needs after pair generation (A~B and B~C must
+    collapse to ONE canonical doc, which pairwise dropping alone gets
+    wrong when chains are longer than 2).
+
+    Min-label propagation: every vertex starts as its own label; each
+    round takes the min label across its neighborhood; converged when no
+    label changes.  Rounds ≈ graph diameter (near-dup clusters are
+    shallow); each round is one shuffle keyed by vertex, and
+    ``localCheckpoint`` truncates the growing lineage (the standard
+    iterative-algorithm hazard on Spark).  Returns (id, component) with
+    component = min vertex id of the component — deterministic.
+
+    ``vertices``: optional one-column frame adding isolated vertices
+    (returned as their own singleton component).
+    """
+    und = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    und = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    und = und.persist()
+    verts = und.select(F.col("src").alias("id")).distinct()
+    if vertices is not None:
+        vcol = vertices.columns[0]
+        verts = verts.unionByName(
+            vertices.select(F.col(vcol).alias("id"))).distinct()
+    labels = verts.select("id", F.col("id").alias("comp")).localCheckpoint()
+    try:
+        for _ in range(max_iter):
+            nbr = (und.join(labels, und["src"] == labels["id"])
+                      .select(F.col("dst").alias("id"), "comp"))
+            new = (labels.unionByName(nbr)
+                   .groupBy("id").agg(F.min("comp").alias("comp"))
+                   .localCheckpoint())
+            changed = (labels.alias("o").join(new.alias("n"), "id")
+                       .filter(F.col("o.comp") != F.col("n.comp")).count())
+            labels = new
+            if changed == 0:
+                break
+        return labels
+    finally:
+        und.unpersist()

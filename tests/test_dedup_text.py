@@ -300,3 +300,21 @@ def test_audio_features_and_resample(spark):
         {"audio_id": ["x", "y"], "bytes": [b"not audio", None]}))
     out = MM.audio_features(bad).toPandas()
     assert (~out["ok"]).all()
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Transitive chains collapse to one component (pairwise dropping
+    can't do this); isolated vertices stay singletons; labels are the
+    component min id."""
+    from laji_pygeoapi_spark.operators.dedup import connected_components
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 23),
+         (23, 24), (24, 25)],  # a 6-chain: needs >1 propagation round
+        "id_a: long, id_b: long")
+    verts = spark.createDataFrame([(99,), (1,), (10,)], "id: long")
+    out = {r["id"]: r["comp"] for r in
+           connected_components(edges, vertices=verts).collect()}
+    assert {k: out[k] for k in (1, 2, 3, 4)} == {1: 1, 2: 1, 3: 1, 4: 1}
+    assert out[10] == 10 and out[11] == 10
+    assert all(out[k] == 20 for k in range(20, 26))
+    assert out[99] == 99  # isolated vertex from the vertices frame
