@@ -684,6 +684,34 @@ def q_decontamination(spark, sf_dir):
     return DD.ngram_overlap(train, bench, n=8)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (plans.curation.pack_sequences):
+    documents concatenated in deterministic (hash, id) order and chopped
+    into 512-token training sequences — each doc's (seq_bin, bin_offset)
+    as exact integers.  Engine runs the DISTRIBUTED prefix sum (range
+    buckets + within-bucket windows + driver-side bucket offsets, no
+    single-task global window); the oracle is the serial global window —
+    agreement proves the two-phase scan exact.  Budget is a power of two
+    so the bin division is fp-exact cross-engine."""
+    from laji_pygeoapi_spark.plans.curation import pack_sequences
+    docs = _tbl(spark, sf_dir, "documents")
+    key = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1048576))
+    return pack_sequences(docs, budget=512, key=key)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Temperature-weighted mixture (alpha=0.5): per-source quotas
+    ∝ sqrt(n) (upsampling small sources), then the deterministic hash-
+    order sample.  z accumulates in sorted-stratum order in BOTH engines
+    (python sorted sum vs SQL `sum(... ORDER BY source)`) so the fp
+    normalizer is bit-identical and the floor'd quotas match."""
+    from laji_pygeoapi_spark.plans.curation import temperature_sample
+    docs = _tbl(spark, sf_dir, "documents")
+    key = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1048576))
+    return (temperature_sample(docs, target=300, alpha=0.5, key=key)
+            .select("doc_id", "source"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING (dedup.connected_components): transitive
     closure of the verified MinHash pairs via min-label propagation — an
@@ -786,6 +814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "ivf_topk": q_ivf_topk,
         "curation": q_curation,
+        "pack_sequences": q_pack_sequences,
+        "mixture_sample": q_mixture_sample,
         "dedup_clusters": q_dedup_clusters,
         "multimodal_curation": q_multimodal_curation,
         "redact_pii": q_redact_pii,
@@ -1198,6 +1228,30 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "curation": curation_sql,
+        "pack_sequences": """
+        WITH t AS (SELECT doc_id, CAST(len(__TOK__) AS BIGINT) AS n,
+                          (doc_id * 2654435761) % 1048576 AS h
+                   FROM documents),
+        c AS (SELECT doc_id, n,
+                     CAST(sum(n) OVER (ORDER BY h, doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS ce
+              FROM t)
+        SELECT doc_id, n AS n_tokens,
+               CAST(ce // 512 AS BIGINT) AS seq_bin,
+               CAST(ce % 512 AS BIGINT) AS bin_offset
+        FROM c
+    """.replace("__TOK__", _TOKENS_SQL),
+        "mixture_sample": """
+        WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        z AS (SELECT sum(pow(n, 0.5) ORDER BY source) AS z FROM c),
+        q AS (SELECT source, greatest(1, CAST(floor(300 * pow(n, 0.5) / z.z) AS BIGINT)) AS quota
+              FROM c, z),
+        r AS (SELECT d.doc_id, d.source, q.quota, row_number() OVER (
+                PARTITION BY d.source
+                ORDER BY (d.doc_id * 2654435761) % 1048576, d.doc_id) AS rn
+              FROM documents d JOIN q ON d.source = q.source)
+        SELECT doc_id, source FROM r WHERE rn <= quota
+    """,
         "dedup_clusters": """
         WITH RECURSIVE tok AS (SELECT doc_id, __TOK__ AS t FROM documents),
         sh AS (SELECT doc_id,

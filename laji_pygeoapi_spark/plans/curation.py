@@ -103,3 +103,66 @@ def multimodal_curate(df: DataFrame, lang: str = "en", min_quality: float = 0.6,
             .distinct())
     return (exact.join(drop, id_col, "left_anti")
                  .select(id_col, "n_tokens", "quality"))
+
+
+def pack_sequences(df: DataFrame, budget: int = 2048,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   n_buckets: int = 64, key=None) -> DataFrame:
+    """Pre-training SEQUENCE PACKING: documents are laid out in a
+    deterministic order (hash, id), token counts accumulate, and the
+    concatenated stream is chopped into ``budget``-token training
+    sequences — each doc learns which sequence bin it starts in and at
+    what offset (GPT-style concatenate-then-chunk).
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, not a global window: the naive
+    ``Window.orderBy(key)`` with no partition key is a single task over
+    the whole corpus.  Instead the hash key range-buckets rows
+    (``n_buckets`` contiguous hash ranges), a window accumulates WITHIN
+    each bucket, bucket totals (≤ ``n_buckets`` rows) come to the driver
+    for an exclusive scan, and each row's global position = its
+    within-bucket position + its bucket's offset.  Two narrow shuffles,
+    no single-task stage, same exact integers as the serial form.
+    """
+    h = key if key is not None else F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 20))
+    staged = (df.select(id_col, text_col)
+                .withColumn("_n", TX.token_count(F.col(text_col)).cast("long"))
+                .withColumn("_h", h)
+                .withColumn("_b", (h * n_buckets / F.lit(1 << 20)).cast("int")))
+    w = (Window.partitionBy("_b").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    within = staged.withColumn("_cum_in", F.sum("_n").over(w))
+    totals = {r["_b"]: r["t"] for r in
+              within.groupBy("_b").agg(F.max("_cum_in").alias("t")).collect()}
+    offsets, acc = {}, 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b]
+    off = F.coalesce(*[F.when(F.col("_b") == b, F.lit(v))
+                       for b, v in offsets.items()]) if offsets else F.lit(0)
+    cum_excl = off + F.col("_cum_in") - F.col("_n")
+    return (within.select(
+        id_col, F.col("_n").alias("n_tokens"),
+        (cum_excl / budget).cast("long").alias("seq_bin"),
+        F.pmod(cum_excl, F.lit(budget)).cast("long").alias("bin_offset")))
+
+
+def temperature_sample(df: DataFrame, target: int, alpha: float = 0.5,
+                       strata_col: str = "source", id_col: str = "doc_id",
+                       key=None) -> DataFrame:
+    """Temperature-weighted data MIXTURE: per-stratum quotas ∝ n^alpha
+    (alpha < 1 upsamples small sources relative to their share — the
+    multilingual/multi-domain rebalancing rule), then the deterministic
+    per-stratum hash-order sample.  Stratum counts are one tiny agg; the
+    sample is one shuffle on the stratum key."""
+    counts = {r[strata_col]: r["n"] for r in
+              df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()}
+    # sorted-stratum summation order: IEEE addition is order-dependent and
+    # the oracle's `sum(... ORDER BY stratum)` must accumulate identically
+    z = sum(n ** alpha for _, n in sorted(counts.items()))
+    quotas = {s: max(1, int(target * (n ** alpha) / z)) for s, n in counts.items()}
+    h = key if key is not None else F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 20))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    quota_col = F.coalesce(*[F.when(F.col(strata_col) == s, F.lit(q))
+                             for s, q in quotas.items()])
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= quota_col).drop("_rn"))
