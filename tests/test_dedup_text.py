@@ -318,3 +318,51 @@ def test_connected_components_chain_and_singletons(spark):
     assert out[10] == 10 and out[11] == 10
     assert all(out[k] == 20 for k in range(20, 26))
     assert out[99] == 99  # isolated vertex from the vertices frame
+
+
+def test_pack_sequences_bucketing_invariant(spark):
+    """The distributed prefix sum is exact: any bucket count yields the
+    same (seq_bin, bin_offset) as the serial n_buckets=1 layout, and
+    offsets tile the concatenated stream without gaps."""
+    import pyspark.sql.functions as F
+    from laji_pygeoapi_spark.plans.curation import pack_sequences
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    serial = {r["doc_id"]: (r["seq_bin"], r["bin_offset"]) for r in
+              pack_sequences(docs, budget=512, n_buckets=1).collect()}
+    for nb in (7, 64):
+        dist = {r["doc_id"]: (r["seq_bin"], r["bin_offset"]) for r in
+                pack_sequences(docs, budget=512, n_buckets=nb).collect()}
+        assert dist == serial, nb
+    # no gaps: global positions are consecutive token ranges
+    rows = pack_sequences(docs, budget=512).collect()
+    pos = sorted(r["seq_bin"] * 512 + r["bin_offset"] for r in rows)
+    tot = 0
+    got_tot = {r["doc_id"]: r["n_tokens"] for r in rows}
+    by_pos = sorted(rows, key=lambda r: r["seq_bin"] * 512 + r["bin_offset"])
+    for r in by_pos:
+        assert r["seq_bin"] * 512 + r["bin_offset"] == tot
+        tot += r["n_tokens"]
+
+
+def test_temperature_sample_quota_shape(spark):
+    """alpha=0.5 upsamples small strata relative to proportional sharing;
+    alpha=1 ~ proportional; output is deterministic across runs."""
+    import pyspark.sql.functions as F
+    from laji_pygeoapi_spark.plans.curation import temperature_sample
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = {r["source"]: r["n"] for r in
+         docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    small = min(n, key=n.get)
+    big = max(n, key=n.get)
+    t05 = temperature_sample(docs, target=60, alpha=0.5)
+    t10 = temperature_sample(docs, target=60, alpha=1.0)
+    c05 = {r["source"]: r["n"] for r in
+           t05.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    c10 = {r["source"]: r["n"] for r in
+           t10.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # the small stratum's SHARE grows as alpha drops
+    assert c05[small] / c05[big] >= c10[small] / c10[big]
+    again = {r["source"]: r["n"] for r in
+             temperature_sample(docs, target=60, alpha=0.5)
+             .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == c05
