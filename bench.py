@@ -33,7 +33,8 @@ HEADLINE = [
     "merge_policies", "quality_histogram", "star_join", "exact_dedup",
     "minhash_pairs", "brute_topk", "text_profile", "hourly_rollup",
     "sessions", "ivf_topk", "hll_distinct", "cms_freq",
-    "bbox_count_manifest",
+    "bbox_count_manifest", "decontamination", "pack_sequences",
+    "dedup_clusters",
 ]
 
 

@@ -556,9 +556,11 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         for _ in range(max_iter):
             nbr = (und.join(labels, und["src"] == labels["id"])
                       .select(F.col("dst").alias("id"), "comp"))
+            # lazy checkpoint: the convergence count below is the action
+            # that materializes it — one Spark job per round, not two
             new = (labels.unionByName(nbr)
                    .groupBy("id").agg(F.min("comp").alias("comp"))
-                   .localCheckpoint())
+                   .localCheckpoint(eager=False))
             changed = (labels.alias("o").join(new.alias("n"), "id")
                        .filter(F.col("o.comp") != F.col("n.comp")).count())
             labels = new
