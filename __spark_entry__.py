@@ -188,6 +188,18 @@ def q_knn_distributed(spark, sf_dir):
 TRIANGLE = ((21.0, 59.6), (29.0, 59.6), (25.0, 63.5))
 
 
+def q_dwithin(spark, sf_dir):
+    """ST_DWithin analog (spatial.within_distance_join): all points within
+    150 km of each query center — radius-sized k-ring cover + exact
+    haversine, one shot, no iteration.  Oracle: the full cross-join radius
+    scan (same closed-form haversine)."""
+    import pandas as pd
+    pts = _points(spark, sf_dir).select("doc_id", "lon", "lat")
+    qpdf = pd.DataFrame(KNN_QUERIES, columns=["query_id", "lon", "lat"])
+    return SP.within_distance_join(spark, pts, qpdf, radius_m=150_000.0,
+                                   point_id="doc_id")
+
+
 def q_intersects(spark, sf_dir):
     """OGC intersects filter: exact PIP against a triangle (envelope
     prefilter + vectorized ray casting)."""
@@ -782,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "knn_distributed": q_knn_distributed,
         "intersects": q_intersects,
+        "dwithin": q_dwithin,
         "hex_cells": q_hex_cells,
         "s2_cells": q_s2_cells,
         "tiles": q_tiles,
@@ -1438,6 +1451,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, doc_id, rank FROM d WHERE rank <= 5
         """,
+        "dwithin": """
+        WITH pts_base AS (SELECT doc_id, __LON__ AS lon, __LAT__ AS lat FROM documents),
+        q(query_id, lon, lat) AS (VALUES __KNNVALS__)
+        SELECT q.query_id, p.doc_id
+        FROM q CROSS JOIN pts_base p
+        WHERE __HAV__ <= 150000.0
+    """.replace("__LON__", LON_EXPR).replace("__LAT__", LAT_EXPR).replace("__KNNVALS__", knn_vals).replace("__HAV__", hav.replace("pts ", "pts_base ")),
         "intersects": f"""
             WITH {_PTS_CTE}
             SELECT doc_id FROM pts

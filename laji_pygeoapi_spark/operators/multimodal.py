@@ -211,3 +211,47 @@ def resample_audio(df: DataFrame, target_rate: int,
                                 "n_samples": np.asarray(n_out, dtype=np.int64)})
 
     return df.select(id_col, bytes_col).mapInPandas(run, schema=RESAMPLE_SCHEMA)
+
+
+SHARPNESS_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("ok", T.BooleanType()),
+    T.StructField("sharpness", T.DoubleType()),
+    T.StructField("exposure", T.DoubleType()),
+])
+
+
+def image_quality_signals(df: DataFrame, bytes_col: str = "bytes",
+                          id_col: str = "image_id") -> DataFrame:
+    """Image-quality curation signals (the visual analog of the text
+    quality filters): ``sharpness`` = variance of the 4-neighbor Laplacian
+    of the gray image (the standard blur detector — low variance ⇒ soft
+    edges ⇒ blurred/near-constant frames worth dropping before training)
+    and ``exposure`` = mean gray in [0,1] (clipped-black/white detector).
+    mapInPandas over the opaque bytes column, poison-row isolated like
+    every multimodal op."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ok = np.zeros(n, dtype=bool)
+            sharp = np.full(n, np.nan)
+            expo = np.full(n, np.nan)
+            for i, blob in enumerate(pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    img = decode_image(bytes(blob))
+                except NotImplementedError:
+                    continue
+                ok[i] = True
+                gray = img.astype(np.float64).mean(axis=2)
+                lap = (-4.0 * gray[1:-1, 1:-1]
+                       + gray[:-2, 1:-1] + gray[2:, 1:-1]
+                       + gray[1:-1, :-2] + gray[1:-1, 2:])
+                sharp[i] = float(lap.var()) if lap.size else 0.0
+                expo[i] = float(gray.mean() / 255.0)
+            yield pd.DataFrame({id_col: pdf[id_col], "ok": ok,
+                                "sharpness": sharp, "exposure": expo})
+
+    return df.select(id_col, bytes_col).mapInPandas(run, schema=SHARPNESS_SCHEMA)

@@ -476,3 +476,48 @@ def extent(df: DataFrame, lon: str = "lon", lat: str = "lat"):
     if row is None or row["minx"] is None:
         return None
     return [row["minx"], row["miny"], row["maxx"], row["maxy"]]
+
+
+def within_distance_join(spark: SparkSession, points: DataFrame,
+                         queries: pd.DataFrame, radius_m: float,
+                         res: int | None = None,
+                         lon: str = "lon", lat: str = "lat",
+                         point_id: str = "image_id") -> DataFrame:
+    """ST_DWithin analog: every point within ``radius_m`` of each query
+    center (the PostGIS radius query the reference's GIST index serves).
+
+    One-shot plan, no iteration: each query's hex k-ring sized to COVER
+    its radius (conservatively, using the northernmost query's lon-degree
+    shrink) explodes to (query, cell) rows, broadcast-joins the
+    cell-encoded points, and the exact haversine keeps true members —
+    identical shape to the kNN candidate phase, minus the re-rank.  Cover
+    k is per-batch worst case; the exact filter removes the overshoot, so
+    coverage conservatism costs candidates, never correctness."""
+    import numpy as np
+    cosmin = float(np.cos(np.radians(np.abs(queries["lat"]).max())))
+    radius_deg = radius_m / (111_000.0 * max(cosmin, 0.05))
+    if res is None:
+        # auto resolution: coarsest ring count that still prunes —
+        # a fine grid under a wide radius needs k ~ radius/size rings and
+        # the cover blows up quadratically (3k²+3k+1 cells per query);
+        # capping k ≈ 8 keeps the broadcast cover a few hundred cells per
+        # query at ANY radius while candidate overshoot stays bounded by
+        # the one-cell rim
+        res = DEFAULT_HEX_RES
+        while res > 0 and radius_deg / (0.866 * float(C._hex_size(res))) > 8:
+            res -= 1
+    size_deg = float(C._hex_size(res))
+    k = int(np.ceil(radius_deg / (0.866 * size_deg))) + 1
+    qcells = C.hex_kring(
+        C.hex_cell(queries["lon"].to_numpy(), queries["lat"].to_numpy(), res), k)
+    qdf = spark.createDataFrame(pd.DataFrame({
+        "query_id": np.repeat(queries["query_id"].to_numpy(), qcells.shape[1]),
+        "q_lon": np.repeat(queries["lon"].to_numpy(), qcells.shape[1]),
+        "q_lat": np.repeat(queries["lat"].to_numpy(), qcells.shape[1]),
+        "_cell": qcells.ravel(),
+    }))
+    pts = points.withColumn("_cell", hex_cell_udf(res)(F.col(lon), F.col(lat)))
+    cand = pts.join(F.broadcast(qdf), "_cell")
+    dist = haversine_expr("q_lon", "q_lat", lon, lat)
+    return (cand.filter(dist <= F.lit(float(radius_m)))
+                .select("query_id", point_id))

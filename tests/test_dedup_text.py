@@ -366,3 +366,35 @@ def test_temperature_sample_quota_shape(spark):
              temperature_sample(docs, target=60, alpha=0.5)
              .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert again == c05
+
+
+def test_image_quality_signals_orders_blur(spark):
+    """A box-blurred copy of an image scores strictly lower Laplacian
+    variance than the sharp original; exposure tracks brightness; poison
+    rows isolate."""
+    import numpy as np
+    from laji_pygeoapi_spark.kernels import codec
+    from laji_pygeoapi_spark.operators.multimodal import image_quality_signals
+    rng = np.random.RandomState(3)
+    sharp = rng.randint(0, 256, (48, 48, 3)).astype(np.uint8)
+    k = np.ones((5, 5)) / 25.0
+    blurred = sharp.astype(np.float64).copy()
+    for c in range(3):
+        ch = blurred[:, :, c]
+        out = np.zeros_like(ch)
+        for dy in range(-2, 3):
+            for dx in range(-2, 3):
+                out += np.roll(np.roll(ch, dy, 0), dx, 1)
+        blurred[:, :, c] = out / 25.0
+    dark = (sharp * 0.15).astype(np.uint8)
+    rows = [("sharp", bytearray(codec.encode(sharp, "png"))),
+            ("blur", bytearray(codec.encode(blurred.astype(np.uint8), "png"))),
+            ("dark", bytearray(codec.encode(dark, "png"))),
+            ("poison", bytearray(b"not an image")),
+            ("null", None)]
+    df = spark.createDataFrame(rows, "image_id: string, bytes: binary")
+    out = {r["image_id"]: r for r in image_quality_signals(df).collect()}
+    assert out["sharp"]["ok"] and out["blur"]["ok"]
+    assert out["sharp"]["sharpness"] > 2 * out["blur"]["sharpness"]
+    assert out["dark"]["exposure"] < out["sharp"]["exposure"]
+    assert not out["poison"]["ok"] and not out["null"]["ok"]

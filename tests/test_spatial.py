@@ -210,3 +210,30 @@ def test_knn_auto_brute_delegation(spark):
     ka = sorted(map(tuple, a[["query_id", "image_id", "rank"]].values.tolist()))
     kb = sorted(map(tuple, b[["query_id", "image_id", "rank"]].values.tolist()))
     assert ka == kb
+
+
+def test_within_distance_join_matches_bruteforce(spark):
+    """ST_DWithin analog: cell-cover + exact haversine equals the full
+    brute-force radius scan for several radii (coverage conservatism must
+    never lose a true member)."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from laji_pygeoapi_spark.kernels.cells import haversine_m
+    from laji_pygeoapi_spark.operators.spatial import within_distance_join
+    pts = fixtures.images_df(spark, 800, with_bytes=False)
+    qpdf = pd.DataFrame({"query_id": ["a", "b", "c"],
+                         "lon": [24.9, 27.5, 21.0],
+                         "lat": [60.2, 65.0, 69.5]})
+    pdf = pts.select("image_id", "lon", "lat").toPandas()
+    for radius in (25_000.0, 120_000.0):
+        got = {(r["query_id"], r["image_id"]) for r in
+               within_distance_join(spark, pts, qpdf, radius).collect()}
+        want = set()
+        for _, q in qpdf.iterrows():
+            d = haversine_m(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(),
+                            q["lon"], q["lat"])
+            for img in pdf["image_id"].to_numpy()[d <= radius]:
+                want.add((q["query_id"], img))
+        assert got == want, (radius, len(got), len(want))
+    assert len(want) > 0  # the largest radius actually matched something
