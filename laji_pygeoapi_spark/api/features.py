@@ -547,3 +547,35 @@ def _geojson_geometry_udf(crs: str = "CRS84"):
         return pd.Series(out)
 
     return gj
+
+
+def feature_collection(df: DataFrame, number_matched: int | None = None,
+                       id_col: str = "Paikallinen_tunniste",
+                       crs: str = "CRS84", representation: str = "center",
+                       links: list[dict] | None = None,
+                       timestamp: str | None = None) -> str:
+    """Assemble the full OGC API FeatureCollection response document from
+    an ``items()`` page: type / features / numberMatched / numberReturned
+    / links / timeStamp — the envelope pygeoapi's framework adds around
+    the provider result (``lajiapi_provider.py`` returns the inner
+    feature list; the reference's HTTP layer wraps it).
+
+    The page is bounded by items()' limit (≤ 10 000), so collecting the
+    per-feature JSON strings here is driver-sized by construction; every
+    per-feature byte was built JVM-side by :func:`to_geojson`.
+    ``timestamp`` is injectable for deterministic tests (RFC3339)."""
+    import json
+
+    feats = [r["feature_json"]
+             for r in to_geojson(df, id_col=id_col, crs=crs,
+                                 representation=representation).collect()]
+    doc = ['{"type":"FeatureCollection"',
+           f',"numberReturned":{len(feats)}']
+    if number_matched is not None:
+        doc.append(f',"numberMatched":{int(number_matched)}')
+    if timestamp:
+        doc.append(f',"timeStamp":{json.dumps(timestamp)}')
+    if links:
+        doc.append(f',"links":{json.dumps(links)}')
+    doc.append(',"features":[' + ",".join(feats) + "]}")
+    return "".join(doc)

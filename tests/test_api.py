@@ -397,3 +397,22 @@ def test_items_tm35fin_bbox_autodetect(spark, occ):
     # CRS84 bboxes are untouched by the auto-detect
     assert API.bbox_crs_of((24.5, 59.9, 28.5, 62.2)) == "CRS84"
     assert API.bbox_crs_of((float(e0), float(n0), float(e1), float(n1))) == "EPSG:3067"
+
+
+def test_feature_collection_envelope(spark, occ):
+    """The assembled FeatureCollection parses as valid JSON with the OGC
+    members and exactly the page's features inside."""
+    import json
+    page, matched = API.items(occ, bbox=(21.0, 59.5, 30.0, 68.0), limit=7,
+                              count_matched=True)
+    out = API.feature_collection(page, number_matched=matched,
+                                 timestamp="2026-08-17T00:00:00Z",
+                                 links=[{"rel": "self", "href": "x"}])
+    doc = json.loads(out)
+    assert doc["type"] == "FeatureCollection"
+    assert doc["numberReturned"] == 7 and doc["numberMatched"] == matched
+    assert doc["timeStamp"].endswith("Z") and doc["links"][0]["rel"] == "self"
+    assert len(doc["features"]) == 7
+    f = doc["features"][0]
+    assert f["type"] == "Feature" and f["geometry"]["type"] == "Point"
+    assert "Paikallinen_tunniste" in f["properties"] or f["id"]
