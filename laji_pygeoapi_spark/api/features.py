@@ -426,8 +426,13 @@ def get_feature(df: DataFrame, identifier: str,
         return out
 
     if store_root is not None:
-        from ..sources.table import read_candidate_partitions
-        pruned = read_candidate_partitions(df.sparkSession, store_root, identifier)
+        from ..sources.table import bloom_column, read_candidate_partitions
+        # probe with the value as stored in the INDEXED column: a store
+        # bloomed on the decoded ('#') id must be probed with the decoded
+        # form or a present row could bloom-miss
+        probe = decoded if bloom_column(store_root) == "Havainnon_tunniste" \
+            else identifier
+        pruned = read_candidate_partitions(df.sparkSession, store_root, probe)
         if pruned is not None:
             return pruned.filter(pred(pruned))
     return df.filter(pred(df))

@@ -566,6 +566,13 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
             labels = new
             if changed == 0:
                 break
+        else:
+            # silent non-convergence would return WRONG components for a
+            # graph deeper than max_iter (min-label moves one hop/round) —
+            # correctness first: refuse, tell the caller to raise the cap
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "rounds (component diameter exceeds max_iter); raise it")
         return labels
     finally:
         und.unpersist()

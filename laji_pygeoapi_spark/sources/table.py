@@ -608,13 +608,23 @@ def get_by_id(spark: SparkSession, root: str, value,
     them; false positives only cost an extra pruned read, never a wrong
     result.  Falls back to a full pruned-scan filter when the store has no
     bloom index."""
-    meta_col = next((d["bloom"]["col"] for d in _live_manifests(root)
-                     if d.get("bloom")), None)
+    meta_col = bloom_column(root)
     id_col = id_col or meta_col
+    if meta_col is None or id_col != meta_col:
+        # the bloom indexes ONE column; pruning a lookup on a different
+        # column with it would be a wrong-answer risk (false miss), so any
+        # mismatch falls back to the full (still cell-pruned) scan
+        return read_table(spark, root).filter(F.col(id_col or "image_id") == value)
     pruned = read_candidate_partitions(spark, root, value)
     if pruned is None:
-        return read_table(spark, root).filter(F.col(id_col or "image_id") == value)
+        return read_table(spark, root).filter(F.col(id_col) == value)
     return pruned.filter(F.col(id_col) == value)
+
+
+def bloom_column(root: str) -> str | None:
+    """The column the store's manifest bloom indexes, if any."""
+    return next((d["bloom"]["col"] for d in _live_manifests(root)
+                 if d.get("bloom")), None)
 
 
 def read_candidate_partitions(spark: SparkSession, root: str, value) -> DataFrame | None:

@@ -457,3 +457,40 @@ def test_get_feature_store_pruned(spark, root, monkeypatch):
     monkeypatch.setattr(store, "read_table", boom)
     got = API.get_feature(t, "IMG_000000042", store_root=root).collect()
     assert len(got) == 1 and got[0]["image_id"] == "IMG_000000042"
+
+
+def test_bloom_mismatch_and_decoded_probe(spark, root):
+    """get_by_id on a column OTHER than the bloom-indexed one falls back to
+    a full filter (no wrong-basis pruning); api.get_feature probes with the
+    decoded '#' form when the store blooms Havainnon_tunniste."""
+    from laji_pygeoapi_spark.api import features as API
+    from laji_pygeoapi_spark.functions import transform
+    raw = spark.createDataFrame(fixtures.raw_occurrences_pdf(120))
+    tax = spark.createDataFrame(fixtures.taxonomy_pdf())
+    occ = transform.transform_chain(raw, tax)
+    store.write_partitioned(occ, root, "j1", bloom_col="Havainnon_tunniste")
+    assert store.bloom_column(root) == "Havainnon_tunniste"
+    row = occ.select("Paikallinen_tunniste", "Havainnon_tunniste").first()
+    encoded = row["Paikallinen_tunniste"]
+    # bloom col and lookup col differ -> exact result via fallback
+    got = store.get_by_id(spark, root, encoded,
+                          id_col="Paikallinen_tunniste").collect()
+    assert len(got) == 1
+    # API GET with the ENCODED id against a decoded-bloomed store
+    t = store.read_table(spark, root)
+    hits = API.get_feature(t, encoded, store_root=root).collect()
+    assert len(hits) >= 1
+    assert hits[0]["Havainnon_tunniste"] == row["Havainnon_tunniste"]
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain deeper than max_iter must refuse rather than return wrong
+    component labels."""
+    import pytest
+    from laji_pygeoapi_spark.operators.dedup import connected_components
+    chain = spark.createDataFrame([(i, i + 1) for i in range(10)],
+                                  "id_a: long, id_b: long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+    ok = connected_components(chain, max_iter=15).collect()
+    assert {r["comp"] for r in ok} == {0}
