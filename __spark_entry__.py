@@ -188,6 +188,16 @@ def q_knn_distributed(spark, sf_dir):
 TRIANGLE = ((21.0, 59.6), (29.0, 59.6), (25.0, 63.5))
 
 
+def q_density_grid(spark, sf_dir):
+    """Heatmap density grid (tiling.density_grid): per-(tile, pixel)
+    point counts at z8 with 64px tiles — pure JVM pixel binning, one
+    map-side-combined agg, no UDF.  Input to the grayscale tile renderer
+    (render parity pytest-gated; PNG bytes aren't SQL-comparable)."""
+    from laji_pygeoapi_spark.operators.tiling import density_grid
+    pts = _points(spark, sf_dir)
+    return density_grid(pts, zoom=8, size=64)
+
+
 def q_dwithin(spark, sf_dir):
     """ST_DWithin analog (spatial.within_distance_join): all points within
     150 km of each query center — radius-sized k-ring cover + exact
@@ -795,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_distributed": q_knn_distributed,
         "intersects": q_intersects,
         "dwithin": q_dwithin,
+        "density_grid": q_density_grid,
         "hex_cells": q_hex_cells,
         "s2_cells": q_s2_cells,
         "tiles": q_tiles,
@@ -1451,6 +1462,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, doc_id, rank FROM d WHERE rank <= 5
         """,
+        "density_grid": """
+        WITH __PTSCTE__,
+        g AS (
+          SELECT CAST(least(16383, greatest(0, floor((lon + 180.0) / 360.0 * 16384))) AS BIGINT) AS gx,
+                 CAST(least(16383, greatest(0, floor((1.0 - (__ASINH__) / pi()) / 2.0 * 16384))) AS BIGINT) AS gy
+          FROM pts
+        )
+        SELECT CAST(gx // 64 AS BIGINT) AS tile_x, CAST(gy // 64 AS BIGINT) AS tile_y,
+               CAST(gx % 64 AS INTEGER) AS px, CAST(gy % 64 AS INTEGER) AS py,
+               count(*) AS cnt
+        FROM g GROUP BY 1, 2, 3, 4
+    """.replace("__PTSCTE__", _PTS_CTE).replace("__ASINH__", asinh),
         "dwithin": """
         WITH pts_base AS (SELECT doc_id, __LON__ AS lon, __LAT__ AS lat FROM documents),
         q(query_id, lon, lat) AS (VALUES __KNNVALS__)

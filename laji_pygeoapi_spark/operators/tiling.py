@@ -269,3 +269,64 @@ def get_tile(spark, tiles_root: str, zoom: int, x: int, y: int) -> DataFrame:
     df = spark.read.parquet(os.path.join(tiles_root, "data"))
     return df.filter((F.col("zoom") == zoom) & (F.col("x") == x)
                      & (F.col("y") == y))
+
+
+def density_grid(df: DataFrame, zoom: int, size: int = 256,
+                 lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Point-density HEATMAP grid: per-(tile, pixel) point counts at
+    ``zoom`` with ``size``×``size`` pixels per WebMercator tile.
+
+    Pure JVM column arithmetic (global pixel index → tile = div, pixel =
+    mod; no UDF, whole-stage codegen) and ONE map-side-combined hash agg —
+    the other raster product a map service serves besides image mosaics,
+    and the input to :func:`render_density_tiles`.  Sparse: only hit
+    pixels appear."""
+    n = float(1 << zoom)
+    world = F.lit(n * size)
+    gx = F.floor((F.col(lon) + 180.0) / 360.0 * world)
+    gx = F.greatest(F.lit(0), F.least(world.cast("long") - 1, gx.cast("long")))
+    lat_r = F.radians(F.col(lat))
+    merc = F.log(F.tan(lat_r) + F.sqrt(F.tan(lat_r) * F.tan(lat_r) + 1.0))
+    gy = F.floor((1.0 - merc / F.lit(float(np.pi))) / 2.0 * world)
+    gy = F.greatest(F.lit(0), F.least(world.cast("long") - 1, gy.cast("long")))
+    staged = df.select(gx.alias("_gx"), gy.alias("_gy"))
+    return (staged.groupBy(
+                (F.col("_gx") / size).cast("long").alias("tile_x"),
+                (F.col("_gy") / size).cast("long").alias("tile_y"),
+                F.pmod(F.col("_gx"), F.lit(size)).cast("int").alias("px"),
+                F.pmod(F.col("_gy"), F.lit(size)).cast("int").alias("py"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+DENSITY_TILE_SCHEMA = T.StructType([
+    T.StructField("tile_x", T.LongType()),
+    T.StructField("tile_y", T.LongType()),
+    T.StructField("n_points", T.LongType()),
+    T.StructField("max_cnt", T.LongType()),
+    T.StructField("tile_png", T.BinaryType()),
+])
+
+
+def render_density_tiles(grid: DataFrame, size: int = 256) -> DataFrame:
+    """Render the sparse density grid into grayscale PNG heatmap tiles:
+    intensity = cnt scaled linearly to the tile's own max (deterministic —
+    no palette/gamma state).  applyInPandas, one group per tile, same
+    shuffle shape as the mosaic renderer."""
+
+    def render(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(keys[0]), int(keys[1])
+        canvas = np.zeros((size, size), dtype=np.float64)
+        canvas[pdf["py"].to_numpy(), pdf["px"].to_numpy()] = pdf["cnt"].to_numpy()
+        mx = float(canvas.max())
+        img = np.zeros((size, size, 3), dtype=np.uint8)
+        if mx > 0:
+            gray = np.minimum(255.0, canvas * (255.0 / mx)).astype(np.uint8)
+            img[:, :, 0] = img[:, :, 1] = img[:, :, 2] = gray
+        return pd.DataFrame([{
+            "tile_x": tx, "tile_y": ty,
+            "n_points": int(pdf["cnt"].sum()), "max_cnt": int(mx),
+            "tile_png": codec.encode(img, "png"),
+        }])
+
+    return grid.groupBy("tile_x", "tile_y").applyInPandas(
+        render, schema=DENSITY_TILE_SCHEMA)

@@ -160,3 +160,42 @@ def test_get_tile_partition_pruned(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "zoom" in seg and "x" in seg and "y" in seg, seg
+
+
+def test_density_grid_and_render_roundtrip(spark):
+    """Sparse pixel counts match a numpy-binned reference; the rendered
+    grayscale decodes back to the exact scaled histogram."""
+    import numpy as np
+    import pandas as pd
+    from laji_pygeoapi_spark.kernels import codec
+    from laji_pygeoapi_spark.operators.tiling import density_grid, render_density_tiles
+    rng = np.random.RandomState(11)
+    n = 3000
+    lon = rng.uniform(24.0, 25.5, n)
+    lat = rng.uniform(60.0, 61.0, n)
+    df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    zoom, size = 9, 64
+    grid = density_grid(df, zoom, size=size)
+    rows = grid.collect()
+    assert sum(r["cnt"] for r in rows) == n
+    # numpy reference binning (same formulas)
+    world = (1 << zoom) * size
+    gx = np.clip(np.floor((lon + 180.0) / 360.0 * world), 0, world - 1).astype(np.int64)
+    merc = np.arcsinh(np.tan(np.radians(lat)))
+    gy = np.clip(np.floor((1.0 - merc / np.pi) / 2.0 * world), 0, world - 1).astype(np.int64)
+    from collections import Counter
+    want = Counter(zip(gx // size, gy // size, gx % size, gy % size))
+    got = {(r["tile_x"], r["tile_y"], r["px"], r["py"]): r["cnt"] for r in rows}
+    assert got == dict(want)
+    # render: decoded gray equals the per-tile scaled histogram
+    tiles = {(r["tile_x"], r["tile_y"]): r
+             for r in render_density_tiles(grid, size=size).collect()}
+    (tx, ty), tile = max(tiles.items(), key=lambda kv: kv[1]["n_points"])
+    img = codec.decode(bytes(tile["tile_png"]))
+    canvas = np.zeros((size, size))
+    for (wtx, wty, px, py), c in want.items():
+        if (wtx, wty) == (tx, ty):
+            canvas[py, px] = c
+    expect = np.minimum(255.0, canvas * (255.0 / canvas.max())).astype(np.uint8)
+    assert np.array_equal(img[:, :, 0], expect)
+    assert tile["max_cnt"] == int(canvas.max())
