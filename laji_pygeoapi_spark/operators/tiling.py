@@ -290,9 +290,14 @@ def density_grid(df: DataFrame, zoom: int, size: int = 256,
     gy = F.floor((1.0 - merc / F.lit(float(np.pi))) / 2.0 * world)
     gy = F.greatest(F.lit(0), F.least(world.cast("long") - 1, gy.cast("long")))
     staged = df.select(gx.alias("_gx"), gy.alias("_gy"))
+    # exact integer division (subtract the remainder first): a double
+    # `/ size` truncation can mis-bin boundary pixels when size is not a
+    # power of two
+    tile_x = (F.col("_gx") - F.pmod(F.col("_gx"), F.lit(size))) / F.lit(size)
+    tile_y = (F.col("_gy") - F.pmod(F.col("_gy"), F.lit(size))) / F.lit(size)
     return (staged.groupBy(
-                (F.col("_gx") / size).cast("long").alias("tile_x"),
-                (F.col("_gy") / size).cast("long").alias("tile_y"),
+                tile_x.cast("long").alias("tile_x"),
+                tile_y.cast("long").alias("tile_y"),
                 F.pmod(F.col("_gx"), F.lit(size)).cast("int").alias("px"),
                 F.pmod(F.col("_gy"), F.lit(size)).cast("int").alias("py"))
               .agg(F.count(F.lit(1)).alias("cnt")))
