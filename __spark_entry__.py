@@ -517,6 +517,28 @@ def q_ann_topk(spark, sf_dir):
                                multiprobe=3)
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_encode/pq_topk): vectors
+    compress to 8 block codes (64 doubles → 8 bytes), queries score codes
+    against a driver-built lookup table — the memory-compression layer of
+    a billion-vector store.  Codebooks are DATA-DEFINED (blocks of the
+    first 16 vectors, like the IVF oracle's codebook) so the ENTIRE
+    structure — per-block argmin encoding, ADC lookup, top-k — is
+    SQL-expressible; every fp accumulation is a fixed left-to-right chain
+    mirrored exactly in the oracle (the trained-kmeans form is
+    pytest-gated separately)."""
+    import numpy as np
+    emb = _tbl(spark, sf_dir, "embeddings")
+    dbl = emb.withColumn("e", F.transform("embedding", lambda x: x.cast("double")))
+    first16 = (dbl.filter(F.col("vec_id") < 16).orderBy("vec_id")
+                  .select("e").collect())
+    books = np.array([[list(row["e"][b * 8:(b + 1) * 8]) for row in first16]
+                      for b in range(8)])
+    qv = dbl.filter(F.col("vec_id") == 0).select("e").first()["e"]
+    codes = SIM.pq_encode(dbl.filter(F.col("vec_id") != 0), books, vec_col="e")
+    return SIM.pq_topk(codes, books, qv, k=10)
+
+
 def q_centroid_rank(spark, sf_dir):
     """Per-label centroid cosine top-3 (grouped similarity)."""
     emb = _tbl(spark, sf_dir, "embeddings")
@@ -829,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "brute_topk": q_brute_topk,
         "ann_topk": q_ann_topk,
+        "pq_topk": q_pq_topk,
         "centroid_rank": q_centroid_rank,
         "text_profile": q_text_profile,
         "token_histogram": q_token_histogram,
@@ -1312,6 +1335,27 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": ann_topk_sql,
         "embedding_neardup": embedding_neardup_sql,
         "geojson": geojson_sql,
+        "pq_topk": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        base AS (SELECT vec_id, v FROM e WHERE vec_id <> 0),
+        blocks(b) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)),
+        d AS (SELECT base.vec_id, blocks.b, cb.cid,
+                     ((base.v[blocks.b*8 + 1] - cb.cv[blocks.b*8 + 1]) * (base.v[blocks.b*8 + 1] - cb.cv[blocks.b*8 + 1])) + ((base.v[blocks.b*8 + 2] - cb.cv[blocks.b*8 + 2]) * (base.v[blocks.b*8 + 2] - cb.cv[blocks.b*8 + 2])) + ((base.v[blocks.b*8 + 3] - cb.cv[blocks.b*8 + 3]) * (base.v[blocks.b*8 + 3] - cb.cv[blocks.b*8 + 3])) + ((base.v[blocks.b*8 + 4] - cb.cv[blocks.b*8 + 4]) * (base.v[blocks.b*8 + 4] - cb.cv[blocks.b*8 + 4])) + ((base.v[blocks.b*8 + 5] - cb.cv[blocks.b*8 + 5]) * (base.v[blocks.b*8 + 5] - cb.cv[blocks.b*8 + 5])) + ((base.v[blocks.b*8 + 6] - cb.cv[blocks.b*8 + 6]) * (base.v[blocks.b*8 + 6] - cb.cv[blocks.b*8 + 6])) + ((base.v[blocks.b*8 + 7] - cb.cv[blocks.b*8 + 7]) * (base.v[blocks.b*8 + 7] - cb.cv[blocks.b*8 + 7])) + ((base.v[blocks.b*8 + 8] - cb.cv[blocks.b*8 + 8]) * (base.v[blocks.b*8 + 8] - cb.cv[blocks.b*8 + 8])) AS dist
+              FROM base CROSS JOIN blocks CROSS JOIN cb),
+        codes AS (SELECT vec_id, b, cid AS code FROM (
+            SELECT vec_id, b, cid, dist, row_number() OVER (
+              PARTITION BY vec_id, b ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+        q AS (SELECT v FROM e WHERE vec_id = 0),
+        qd AS (SELECT blocks.b, cb.cid, ((q.v[blocks.b*8 + 1] - cb.cv[blocks.b*8 + 1]) * (q.v[blocks.b*8 + 1] - cb.cv[blocks.b*8 + 1])) + ((q.v[blocks.b*8 + 2] - cb.cv[blocks.b*8 + 2]) * (q.v[blocks.b*8 + 2] - cb.cv[blocks.b*8 + 2])) + ((q.v[blocks.b*8 + 3] - cb.cv[blocks.b*8 + 3]) * (q.v[blocks.b*8 + 3] - cb.cv[blocks.b*8 + 3])) + ((q.v[blocks.b*8 + 4] - cb.cv[blocks.b*8 + 4]) * (q.v[blocks.b*8 + 4] - cb.cv[blocks.b*8 + 4])) + ((q.v[blocks.b*8 + 5] - cb.cv[blocks.b*8 + 5]) * (q.v[blocks.b*8 + 5] - cb.cv[blocks.b*8 + 5])) + ((q.v[blocks.b*8 + 6] - cb.cv[blocks.b*8 + 6]) * (q.v[blocks.b*8 + 6] - cb.cv[blocks.b*8 + 6])) + ((q.v[blocks.b*8 + 7] - cb.cv[blocks.b*8 + 7]) * (q.v[blocks.b*8 + 7] - cb.cv[blocks.b*8 + 7])) + ((q.v[blocks.b*8 + 8] - cb.cv[blocks.b*8 + 8]) * (q.v[blocks.b*8 + 8] - cb.cv[blocks.b*8 + 8])) AS qdist
+               FROM q CROSS JOIN blocks CROSS JOIN cb),
+        a AS (SELECT codes.vec_id, sum(qd.qdist ORDER BY codes.b) AS adist
+              FROM codes JOIN qd ON qd.b = codes.b AND qd.cid = codes.code
+              GROUP BY codes.vec_id)
+        SELECT vec_id, round(adist, 6) AS adist_r
+        FROM a ORDER BY adist, vec_id LIMIT 10
+    """,
         "bbox_filter": f"""
             WITH {_PTS_CTE}
             SELECT doc_id FROM pts

@@ -266,3 +266,100 @@ def pairwise_topk_per_label(df: DataFrame, k: int = 3,
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
                   .select(label_col, id_col, "cosine", "rank"))
+
+
+# ----------------------------------------------------- product quantization
+
+def pq_train(df: DataFrame, m_blocks: int = 8, n_codes: int = 16,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             sample_n: int = 4096, iters: int = 10, seed: int = 0) -> np.ndarray:
+    """Product-quantization codebooks: per-block Lloyd's k-means on a
+    deterministic driver-side sample (same protocol as :func:`ivf_train`).
+    Returns (m_blocks, n_codes, dim // m_blocks).
+
+    PQ is how billion-vector stores fit in memory: a d-dim float vector
+    becomes m uint8 codes (here 64 doubles → 8 bytes, 64×), and queries
+    score codes against a per-query lookup table instead of raw floats."""
+    pdf = (df.filter(F.col(id_col) < sample_n)
+             .select(id_col, vec_col).orderBy(id_col).toPandas())
+    x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    dim = x.shape[1]
+    assert dim % m_blocks == 0, "dim must divide into equal blocks"
+    bd = dim // m_blocks
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m_blocks, n_codes, bd))
+    for b in range(m_blocks):
+        xb = x[:, b * bd:(b + 1) * bd]
+        cent = xb[rng.choice(len(xb), size=n_codes, replace=False)]
+        for _ in range(iters):
+            d = ((xb[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(n_codes):
+                members = xb[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[b] = cent
+    return books
+
+
+def _block_dist_expr(vec_col: str, books: np.ndarray, b: int, c: int) -> Column:
+    """Squared L2 of block ``b`` vs centroid ``c`` — a FIXED left-to-right
+    chain of (diff*diff) terms, so the DuckDB oracle can reproduce the
+    accumulation bit-for-bit (fp addition is order-dependent)."""
+    bd = books.shape[2]
+    expr = None
+    for i in range(bd):
+        x = F.col(vec_col)[b * bd + i] - F.lit(float(books[b, c, i]))
+        term = x * x
+        expr = term if expr is None else expr + term
+    return expr
+
+
+def pq_encode(df: DataFrame, books: np.ndarray,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Encode vectors to per-block nearest-centroid codes — pure JVM
+    column arithmetic (staged distance arrays, argmin via array_position
+    of the min: ties break to the LOWEST code, matching the oracle's
+    (dist, cid) ordering).  Output: (id, code_0..code_{m-1}) ints."""
+    m, n_codes, _ = books.shape
+    out = df.select(id_col, vec_col)
+    for b in range(m):
+        arr = F.array(*[_block_dist_expr(vec_col, books, b, c)
+                        for c in range(n_codes)])
+        out = out.withColumn(f"_d{b}", arr)
+        out = out.withColumn(
+            f"code_{b}",
+            (F.array_position(F.col(f"_d{b}"), F.array_min(F.col(f"_d{b}"))) - 1)
+            .cast("int"))
+    return out.select(id_col, *[f"code_{b}" for b in range(m)])
+
+
+def pq_topk(codes: DataFrame, books: np.ndarray, query_vec, k: int = 10,
+            id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query builds an
+    (m × n_codes) lookup table driver-side; each row's approximate
+    distance is the sum of m table lookups (element_at over literal
+    arrays — no floats read from storage, no UDF).  The scan cost per row
+    is m byte-codes, independent of the original dimension — the whole
+    point of PQ at 10^12 rows."""
+    m, n_codes, bd = books.shape
+    q = [float(v) for v in query_vec]
+    lut = []
+    for b in range(m):
+        row = []
+        for c in range(n_codes):
+            acc = 0.0
+            for i in range(bd):  # explicit left-to-right: oracle-matched
+                diff = q[b * bd + i] - float(books[b, c, i])
+                acc = acc + diff * diff
+            row.append(acc)
+        lut.append(row)
+    adist = None
+    for b in range(m):
+        term = F.element_at(F.array(*[F.lit(v) for v in lut[b]]),
+                            F.col(f"code_{b}") + 1)
+        adist = term if adist is None else adist + term
+    return (codes.withColumn("adist", adist)
+                 .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+                 .limit(k)
+                 .select(id_col, F.round("adist", 6).alias("adist_r")))
