@@ -363,3 +363,34 @@ def pq_topk(codes: DataFrame, books: np.ndarray, query_vec, k: int = 10,
                  .orderBy(F.col("adist").asc(), F.col(id_col).asc())
                  .limit(k)
                  .select(id_col, F.round("adist", 6).alias("adist_r")))
+
+
+def write_ivfpq_store(df: DataFrame, codebook: DataFrame, books: np.ndarray,
+                      root: str, vec_col: str = "embedding",
+                      id_col: str = "vec_id", round_dp: int = 4) -> None:
+    """The FAISS-IVFPQ layout: coarse-assign every vector to a posting
+    list, PQ-encode it, and store ONLY (id, code_0..code_{m-1}) partitioned
+    by ``ivf_list`` — the billion-scale configuration where the index is
+    m bytes/vector and a query reads nprobe partitions of byte codes
+    (no raw floats on the query path at all)."""
+    assigned = ivf_assign(df, codebook, vec_col=vec_col, id_col=id_col,
+                          round_dp=round_dp)
+    codes = pq_encode(assigned, books, vec_col=vec_col, id_col=id_col)
+    m = books.shape[0]
+    out = (assigned.select(id_col, "ivf_list")
+           .join(codes, id_col))
+    (out.repartition("ivf_list")
+        .write.mode("overwrite").partitionBy("ivf_list").parquet(root))
+
+
+def ivfpq_topk_stored(spark, root: str, codebook: DataFrame,
+                      books: np.ndarray, query_vec, k: int = 10,
+                      nprobe: int = 4, id_col: str = "vec_id",
+                      round_dp: int = 4) -> DataFrame:
+    """IVF+PQ query: partition-pruned probe of ``nprobe`` posting lists
+    (PartitionFilters on ``ivf_list``), then ADC scoring of the byte codes
+    against the query's lookup table — :func:`_ivf_probes` +
+    :func:`pq_topk` composed over the stored layout."""
+    probes = _ivf_probes(codebook, query_vec, nprobe, round_dp)
+    cand = spark.read.parquet(root).filter(F.col("ivf_list").isin(probes))
+    return pq_topk(cand, books, query_vec, k=k, id_col=id_col)

@@ -439,3 +439,36 @@ def test_pq_trained_matches_numpy_reference(spark):
     adist = lut[np.arange(8)[None, :], ref_codes[mask]].sum(axis=1)
     order = np.lexsort((ids[mask], adist))
     assert top == ids[mask][order][:10].tolist()
+
+
+def test_ivfpq_store_parity_and_pruning(spark, tmp_path):
+    """IVF+PQ store: the stored query equals the same probe+ADC computed
+    directly from the unstored frames, and the probe is partition pruning
+    (PartitionFilters on ivf_list)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from laji_pygeoapi_spark.operators import similarity as SIM
+    emb = (spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+           .withColumn("e", F.transform("embedding", lambda x: x.cast("double"))))
+    codebook = (emb.filter(F.col("vec_id") < 16)
+                   .select(F.col("vec_id").alias("cid"), F.col("e").alias("cvec")))
+    books = SIM.pq_train(emb, m_blocks=8, n_codes=16, vec_col="e")
+    qv = emb.filter(F.col("vec_id") == 0).select("e").first()["e"]
+    root = str(tmp_path / "ivfpq")
+    base = emb.filter(F.col("vec_id") != 0)
+    SIM.write_ivfpq_store(base, codebook, books, root, vec_col="e")
+    got = SIM.ivfpq_topk_stored(spark, root, codebook, books, qv, k=10, nprobe=4)
+    rows = got.collect()
+    # direct (unstored) computation of the same probe set + ADC
+    probes = SIM._ivf_probes(codebook, qv, 4)
+    assigned = SIM.ivf_assign(base, codebook, vec_col="e")
+    direct_codes = SIM.pq_encode(
+        assigned.filter(F.col("ivf_list").isin(probes)), books, vec_col="e")
+    want = SIM.pq_topk(direct_codes, books, qv, k=10).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in want]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "ivf_list" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    # the stored row is codes-only: no float vectors on the query path
+    stored_cols = spark.read.parquet(root).columns
+    assert "e" not in stored_cols and "embedding" not in stored_cols
