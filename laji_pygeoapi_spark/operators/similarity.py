@@ -376,7 +376,6 @@ def write_ivfpq_store(df: DataFrame, codebook: DataFrame, books: np.ndarray,
     assigned = ivf_assign(df, codebook, vec_col=vec_col, id_col=id_col,
                           round_dp=round_dp)
     codes = pq_encode(assigned, books, vec_col=vec_col, id_col=id_col)
-    m = books.shape[0]
     out = (assigned.select(id_col, "ivf_list")
            .join(codes, id_col))
     (out.repartition("ivf_list")
