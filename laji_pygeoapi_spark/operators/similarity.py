@@ -365,31 +365,89 @@ def pq_topk(codes: DataFrame, books: np.ndarray, query_vec, k: int = 10,
                  .select(id_col, F.round("adist", 6).alias("adist_r")))
 
 
-def write_ivfpq_store(df: DataFrame, codebook: DataFrame, books: np.ndarray,
-                      root: str, vec_col: str = "embedding",
-                      id_col: str = "vec_id", round_dp: int = 4) -> None:
+def write_ivfpq_store(df: DataFrame, codebook: DataFrame, root: str,
+                      m_blocks: int = 8, n_codes: int = 16,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      round_dp: int = 4, sample_n: int = 4096) -> np.ndarray:
     """The FAISS-IVFPQ layout: coarse-assign every vector to a posting
     list, PQ-encode it, and store ONLY (id, code_0..code_{m-1}) partitioned
     by ``ivf_list`` — the billion-scale configuration where the index is
     m bytes/vector and a query reads nprobe partitions of byte codes
-    (no raw floats on the query path at all)."""
+    (no raw floats on the query path at all).
+
+    RESIDUAL encoding (the textbook IVFPQ detail that matters for
+    accuracy): the PQ codebooks are TRAINED on and quantize
+    ``vector − coarse centroid`` — residuals are centered near zero, so
+    the m·n_codes resolution is spent on within-list structure; the query
+    side compensates with one lookup table per probed list
+    (:func:`ivfpq_topk_stored`).  The trained books are returned AND
+    persisted beside the store (``_books.npy``) so later sessions can
+    query without retraining."""
     assigned = ivf_assign(df, codebook, vec_col=vec_col, id_col=id_col,
                           round_dp=round_dp)
-    codes = pq_encode(assigned, books, vec_col=vec_col, id_col=id_col)
+    resid = (assigned.join(F.broadcast(codebook),
+                           assigned["ivf_list"] == codebook["cid"])
+             .withColumn("_resid", F.zip_with(F.col(vec_col), F.col("cvec"),
+                                              lambda x, c: x - c)))
+    books = pq_train(resid, m_blocks=m_blocks, n_codes=n_codes,
+                     vec_col="_resid", id_col=id_col, sample_n=sample_n)
+    codes = pq_encode(resid, books, vec_col="_resid", id_col=id_col)
     out = (assigned.select(id_col, "ivf_list")
            .join(codes, id_col))
     (out.repartition("ivf_list")
         .write.mode("overwrite").partitionBy("ivf_list").parquet(root))
+    import os
+    np.save(os.path.join(root, "_books.npy"), books)
+    return books
+
+
+def load_ivfpq_books(root: str) -> np.ndarray:
+    import os
+    return np.load(os.path.join(root, "_books.npy"))
 
 
 def ivfpq_topk_stored(spark, root: str, codebook: DataFrame,
-                      books: np.ndarray, query_vec, k: int = 10,
-                      nprobe: int = 4, id_col: str = "vec_id",
+                      query_vec, books: np.ndarray | None = None,
+                      k: int = 10, nprobe: int = 4, id_col: str = "vec_id",
                       round_dp: int = 4) -> DataFrame:
     """IVF+PQ query: partition-pruned probe of ``nprobe`` posting lists
-    (PartitionFilters on ``ivf_list``), then ADC scoring of the byte codes
-    against the query's lookup table — :func:`_ivf_probes` +
-    :func:`pq_topk` composed over the stored layout."""
+    (PartitionFilters on ``ivf_list``), then RESIDUAL-ADC scoring: each
+    probed list gets its own lookup table built from the query's residual
+    against that list's coarse centroid (matching the store's residual
+    encoding); per-row the table is selected by a CASE on ``ivf_list`` —
+    still pure literal arithmetic, still no floats read from storage."""
+    if books is None:
+        books = load_ivfpq_books(root)
+    m, n_codes, bd = books.shape
     probes = _ivf_probes(codebook, query_vec, nprobe, round_dp)
+    cents = {int(r["cid"]): np.asarray(r["cvec"], dtype=np.float64)
+             for r in codebook.filter(F.col("cid").isin(probes)).collect()}
+    q = np.asarray(query_vec, dtype=np.float64)
+    luts = {}
+    for p in probes:
+        rq = q - cents[p]
+        lut = []
+        for b in range(m):
+            row = []
+            for c in range(n_codes):
+                acc = 0.0
+                for i in range(bd):
+                    diff = float(rq[b * bd + i]) - float(books[b, c, i])
+                    acc = acc + diff * diff
+                row.append(acc)
+            lut.append(row)
+        luts[p] = lut
     cand = spark.read.parquet(root).filter(F.col("ivf_list").isin(probes))
-    return pq_topk(cand, books, query_vec, k=k, id_col=id_col)
+    adist = None
+    for b in range(m):
+        tbl = None
+        for p in probes:
+            arr = F.array(*[F.lit(v) for v in luts[p][b]])
+            tbl = F.when(F.col("ivf_list") == p, arr) if tbl is None \
+                else tbl.when(F.col("ivf_list") == p, arr)
+        term = F.element_at(tbl, F.col(f"code_{b}") + 1)
+        adist = term if adist is None else adist + term
+    return (cand.withColumn("adist", adist)
+                .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+                .limit(k)
+                .select(id_col, F.round("adist", 6).alias("adist_r")))

@@ -442,9 +442,10 @@ def test_pq_trained_matches_numpy_reference(spark):
 
 
 def test_ivfpq_store_parity_and_pruning(spark, tmp_path):
-    """IVF+PQ store: the stored query equals the same probe+ADC computed
-    directly from the unstored frames, and the probe is partition pruning
-    (PartitionFilters on ivf_list)."""
+    """Residual IVF+PQ store: the stored query's top-k equals an
+    independent numpy residual-ADC scoring of the stored codes; the probe
+    is partition pruning; the layout is codes-only; books persist beside
+    the store for bookless later-session queries."""
     import numpy as np
     import pyspark.sql.functions as F
     from laji_pygeoapi_spark.operators import similarity as SIM
@@ -452,23 +453,40 @@ def test_ivfpq_store_parity_and_pruning(spark, tmp_path):
            .withColumn("e", F.transform("embedding", lambda x: x.cast("double"))))
     codebook = (emb.filter(F.col("vec_id") < 16)
                    .select(F.col("vec_id").alias("cid"), F.col("e").alias("cvec")))
-    books = SIM.pq_train(emb, m_blocks=8, n_codes=16, vec_col="e")
     qv = emb.filter(F.col("vec_id") == 0).select("e").first()["e"]
     root = str(tmp_path / "ivfpq")
     base = emb.filter(F.col("vec_id") != 0)
-    SIM.write_ivfpq_store(base, codebook, books, root, vec_col="e")
-    got = SIM.ivfpq_topk_stored(spark, root, codebook, books, qv, k=10, nprobe=4)
+    books = SIM.write_ivfpq_store(base, codebook, root, vec_col="e")
+    got = SIM.ivfpq_topk_stored(spark, root, codebook, qv, k=10, nprobe=4)
     rows = got.collect()
-    # direct (unstored) computation of the same probe set + ADC
+    # numpy reference: residual-ADC over the STORED codes of probed lists
     probes = SIM._ivf_probes(codebook, qv, 4)
-    assigned = SIM.ivf_assign(base, codebook, vec_col="e")
-    direct_codes = SIM.pq_encode(
-        assigned.filter(F.col("ivf_list").isin(probes)), books, vec_col="e")
-    want = SIM.pq_topk(direct_codes, books, qv, k=10).collect()
-    assert [tuple(r) for r in rows] == [tuple(r) for r in want]
+    cents = {int(r["cid"]): np.asarray(r["cvec"])
+             for r in codebook.collect()}
+    stored = spark.read.parquet(root).filter(
+        F.col("ivf_list").isin(probes)).toPandas()
+    q = np.asarray(qv)
+    m, n_codes, bd = books.shape
+    luts = {}
+    for p in probes:
+        rq = q - cents[p]
+        luts[p] = np.array([[((rq[b * bd:(b + 1) * bd] - books[b, c]) ** 2).sum()
+                             for c in range(n_codes)] for b in range(m)])
+    adist = np.array([
+        sum(luts[int(r["ivf_list"])][b][int(r[f"code_{b}"])] for b in range(m))
+        for _, r in stored.iterrows()])
+    order = np.lexsort((stored["vec_id"].to_numpy(), adist))
+    want_ids = stored["vec_id"].to_numpy()[order][:10].tolist()
+    assert [r["vec_id"] for r in rows] == want_ids
+    for r in rows:  # adist values match the reference to fp-sum tolerance
+        i = stored.index[stored["vec_id"] == r["vec_id"]][0]
+        assert abs(r["adist_r"] - adist[stored.index.get_loc(i)]) < 1e-6
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "ivf_list" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
-    # the stored row is codes-only: no float vectors on the query path
     stored_cols = spark.read.parquet(root).columns
     assert "e" not in stored_cols and "embedding" not in stored_cols
+    # bookless query (books loaded from _books.npy) is identical
+    again = SIM.ivfpq_topk_stored(spark, root, codebook, qv, k=10, nprobe=4,
+                                  books=None)
+    assert [tuple(r) for r in again.collect()] == [tuple(r) for r in rows]
