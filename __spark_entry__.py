@@ -800,6 +800,28 @@ def q_sample_stratified(spark, sf_dir):
             .select("doc_id", "source"))
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/temporal.asof_join): odd events pick up the
+    latest prior-or-equal even event per user — Spark has no ASOF
+    operator, so the engine runs the linear union+ordered-window form
+    (ONE shuffle, no per-key cross product); the oracle is DuckDB's
+    NATIVE `ASOF LEFT JOIN` — two independent implementations of the
+    same semantics.  The right side is deduped per (user, ts) first so
+    tie behavior is engine-independent."""
+    from pyspark.sql import Window
+    from laji_pygeoapi_spark.operators.temporal import asof_join
+    ev = _tbl(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_id") % 2 == 1).select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    right = (ev.filter(F.col("event_id") % 2 == 0)
+               .withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+               .select("user_id", "ts", "value",
+                       F.col("event_id").alias("r_event")))
+    out = asof_join(left, right, ["user_id"], "ts",
+                    value_cols=["value", "r_event"], order_col="r_event")
+    return out.select("event_id", "r_event_asof", "value_asof")
+
+
 def q_sessions(spark, sf_dir):
     """Gap-based sessionization (30-min) of the events feed — the batch twin
     of the applyInPandasWithState streaming operator (parity pytest-gated);
@@ -858,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_rollup": q_hourly_rollup,
         "hll_distinct": q_hll_distinct,
         "cms_freq": q_cms_freq,
+        "asof_join": q_asof_join,
         "sessions": q_sessions,
         "ivf_topk": q_ivf_topk,
         "curation": q_curation,
@@ -1355,6 +1378,16 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY codes.vec_id)
         SELECT vec_id, round(adist, 6) AS adist_r
         FROM a ORDER BY adist, vec_id LIMIT 10
+    """,
+        "asof_join": """
+        WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1),
+        r AS (SELECT user_id, ts, value, event_id AS r_event FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                         ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_id % 2 = 0) WHERE rn = 1)
+        SELECT l.event_id, r.r_event AS r_event_asof, r.value AS value_asof
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
         "bbox_filter": f"""
             WITH {_PTS_CTE}

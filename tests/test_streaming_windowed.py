@@ -158,3 +158,33 @@ def test_stream_dedup_exactly_once(spark, tmp_path):
     n_batch = stream_dedup(spark.read.parquet(src)).count()
     assert got.count() == n_batch == 500
     assert got.select("event_id").distinct().count() == 500
+
+
+def test_asof_join_semantics(spark):
+    """As-of semantics on a hand-built frame: <= tie matches, no-prior ->
+    null, greatest order_col wins among same-ts right rows, and per-key
+    isolation."""
+    import datetime as dt
+    import pandas as pd
+    from laji_pygeoapi_spark.operators.temporal import asof_join
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [7, 7, 7, 8],
+        "ts": [t(5), t(10), t(2), t(10)],
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "user_id": [7, 7, 7, 8],
+        "ts": [t(5), t(5), t(8), t(30)],
+        "value": [1.0, 2.0, 3.0, 9.0],
+        "r_event": [100, 101, 102, 103],
+    }))
+    out = {r["event_id"]: r for r in
+           asof_join(left, right, ["user_id"], "ts",
+                     value_cols=["value", "r_event"],
+                     order_col="r_event").collect()}
+    assert out[1]["r_event_asof"] == 101      # tie at ts=5: greatest r_event
+    assert out[1]["value_asof"] == 2.0
+    assert out[2]["r_event_asof"] == 102      # latest <= 10 is ts=8
+    assert out[3]["r_event_asof"] is None     # ts=2: nothing prior
+    assert out[4]["r_event_asof"] is None     # user 8: right row is FUTURE
