@@ -34,7 +34,8 @@ HEADLINE = [
     "minhash_pairs", "brute_topk", "text_profile", "hourly_rollup",
     "sessions", "ivf_topk", "hll_distinct", "cms_freq",
     "bbox_count_manifest", "decontamination", "pack_sequences",
-    "dedup_clusters", "dwithin", "density_grid",
+    "dedup_clusters", "dwithin", "density_grid", "pq_topk",
+    "asof_join",
 ]
 
 
