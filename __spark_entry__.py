@@ -800,6 +800,36 @@ def q_sample_stratified(spark, sf_dir):
             .select("doc_id", "source"))
 
 
+RANGE_WINDOWS = [
+    # (window_id, start, end) — deterministic maintenance-window grid over
+    # the events month: daily 2h windows + three long windows that span
+    # many bins + overlaps (an event may match several windows)
+    *[(i, f"2024-01-{i + 1:02d} 08:00:00", f"2024-01-{i + 1:02d} 10:00:00")
+      for i in range(20)],
+    (100, "2024-01-05 00:00:00", "2024-01-07 23:59:59"),
+    (101, "2024-01-06 12:00:00", "2024-01-12 00:00:00"),
+    (102, "2024-01-25 09:30:00", "2024-01-25 09:45:00"),
+]
+
+
+def q_range_join(spark, sf_dir):
+    """Point-in-interval range join (operators/temporal.range_join_point):
+    events matched to maintenance windows via the time-bin bucketing
+    rewrite (intervals explode to covered hour bins, points equi-join on
+    their single bin, exact BETWEEN keeps true pairs) — the scale form of
+    what Spark would otherwise run as a per-key cross product.  Oracle:
+    the brute-force inequality join."""
+    from laji_pygeoapi_spark.operators.temporal import range_join_point
+    ev = _tbl(spark, sf_dir, "events").select("event_id", "ts")
+    iv = spark.createDataFrame(
+        [(w, s, e) for w, s, e in RANGE_WINDOWS],
+        "window_id: long, start: string, end: string") \
+        .withColumn("start", F.to_timestamp("start")) \
+        .withColumn("end", F.to_timestamp("end"))
+    out = range_join_point(ev, iv, [], "ts", bin_seconds=3600)
+    return out.select("event_id", "window_id")
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.asof_join): odd events pick up the
     latest prior-or-equal even event per user — Spark has no ASOF
@@ -880,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_rollup": q_hourly_rollup,
         "hll_distinct": q_hll_distinct,
         "cms_freq": q_cms_freq,
+        "range_join": q_range_join,
         "asof_join": q_asof_join,
         "sessions": q_sessions,
         "ivf_topk": q_ivf_topk,
@@ -1379,6 +1410,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, round(adist, 6) AS adist_r
         FROM a ORDER BY adist, vec_id LIMIT 10
     """,
+        "range_join": """
+        WITH w(window_id, s, e) AS (VALUES __WVALS__)
+        SELECT ev.event_id, w.window_id
+        FROM events ev JOIN w
+          ON ev.ts >= CAST(w.s AS TIMESTAMP) AND ev.ts <= CAST(w.e AS TIMESTAMP)
+    """.replace("__WVALS__", ", ".join(
+            "({}, {!r}, {!r})".format(w, s, e) for w, s, e in RANGE_WINDOWS)),
         "asof_join": """
         WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1),
         r AS (SELECT user_id, ts, value, event_id AS r_event FROM (

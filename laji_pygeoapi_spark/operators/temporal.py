@@ -63,3 +63,36 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols,
         F.last(F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True).over(w))
     keep = left.columns + [f"{v}{suffix}" for v in value_cols] + [f"{ts_col}{suffix}"]
     return out.filter(F.col("_side") == 1).select(*keep)
+
+
+def range_join_point(points: DataFrame, intervals: DataFrame, key_cols=(),
+                     ts_col: str = "ts", start_col: str = "start",
+                     end_col: str = "end", bin_seconds: int = 3600) -> DataFrame:
+    """Point-in-interval RANGE JOIN without the quadratic theta-join:
+    Spark executes ``p.ts BETWEEN i.start AND i.end`` as a per-key cross
+    product (BroadcastNestedLoop at best).  The scale form here is the
+    standard time-bin bucketing rewrite: each interval explodes to the
+    hour bins it covers, each point computes its single bin, and an
+    EQUI-join on (key, bin) + the exact BETWEEN filter recovers exactly
+    the true pairs — shuffle cost |P| + Σ interval_bins, hash join,
+    AQE-skew-splittable.  A point matches via precisely one bin, so no
+    dedup is needed; overlapping intervals yield one row per match.
+    Choose ``bin_seconds`` ≈ the typical interval length (one-ish bin per
+    interval)."""
+    key_cols = list(key_cols)
+    b = F.lit(int(bin_seconds))
+
+    def epoch(c):
+        # TIMESTAMP_NTZ (parquet default) has no direct long cast under
+        # ANSI; route through TIMESTAMP (session tz is pinned to UTC)
+        return F.col(c).cast("timestamp").cast("long")
+
+    ibins = intervals.withColumn(
+        "_bin",
+        F.explode(F.sequence(F.floor(epoch(start_col) / b),
+                             F.floor(epoch(end_col) / b))))
+    p = points.withColumn("_bin", F.floor(epoch(ts_col) / b))
+    joined = p.join(ibins, key_cols + ["_bin"])
+    return (joined.filter((F.col(ts_col) >= F.col(start_col))
+                          & (F.col(ts_col) <= F.col(end_col)))
+                  .drop("_bin"))

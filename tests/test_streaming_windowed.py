@@ -188,3 +188,39 @@ def test_asof_join_semantics(spark):
     assert out[2]["r_event_asof"] == 102      # latest <= 10 is ts=8
     assert out[3]["r_event_asof"] is None     # ts=2: nothing prior
     assert out[4]["r_event_asof"] is None     # user 8: right row is FUTURE
+
+
+def test_range_join_point_matches_bruteforce(spark):
+    """Bin-bucketed range join equals the brute-force theta join on random
+    data across bin sizes (coverage: intervals shorter, equal and longer
+    than the bin)."""
+    import pandas as pd
+    import numpy as np
+    from laji_pygeoapi_spark.operators.temporal import range_join_point
+    rng = np.random.RandomState(5)
+    n_p, n_i = 400, 60
+    pts = pd.DataFrame({
+        "pid": range(n_p),
+        "k": rng.randint(0, 5, n_p),
+        "ts": pd.to_datetime(rng.randint(0, 3 * 86400, n_p), unit="s"),
+    })
+    start = rng.randint(0, 3 * 86400, n_i)
+    length = rng.randint(60, 4 * 3600, n_i)
+    iv = pd.DataFrame({
+        "iid": range(n_i),
+        "k": rng.randint(0, 5, n_i),
+        "start": pd.to_datetime(start, unit="s"),
+        "end": pd.to_datetime(start + length, unit="s"),
+    })
+    P, I = spark.createDataFrame(pts), spark.createDataFrame(iv)
+    want = set()
+    for _, p in pts.iterrows():
+        for _, i in iv.iterrows():
+            if p["k"] == i["k"] and i["start"] <= p["ts"] <= i["end"]:
+                want.add((p["pid"], i["iid"]))
+    for bin_s in (600, 3600, 86400):
+        got = {(r["pid"], r["iid"]) for r in
+               range_join_point(P, I, ["k"], "ts", bin_seconds=bin_s)
+               .select("pid", "iid").collect()}
+        assert got == want, bin_s
+    assert len(want) > 0
