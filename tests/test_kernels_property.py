@@ -217,3 +217,35 @@ def test_simplify_ring_property():
             # DP's bound is vs the chord LINE during splits; vs the final
             # clipped outline a modest slack absorbs corner cases
             assert d <= tol * 2.0 + 1e-9, (trial, d, tol)
+
+
+def test_asof_join_property(spark):
+    """Randomized as-of parity vs a plain-python reference: for every left
+    row, the matched right row is the max-(ts, order) right row with
+    ts <= left.ts per key."""
+    import pandas as pd
+    from laji_pygeoapi_spark.operators.temporal import asof_join
+    rng = np.random.RandomState(23)
+    nl, nr = 300, 200
+    left = pd.DataFrame({
+        "event_id": range(nl),
+        "k": rng.randint(0, 6, nl),
+        "ts": pd.to_datetime(rng.randint(0, 86400, nl), unit="s"),
+    })
+    right = pd.DataFrame({
+        "k": rng.randint(0, 6, nr),
+        "ts": pd.to_datetime(rng.randint(0, 86400, nr), unit="s"),
+        "value": rng.rand(nr).round(6),
+        "rid": range(1000, 1000 + nr),
+    })
+    got = {r["event_id"]: r["rid_asof"] for r in
+           asof_join(spark.createDataFrame(left), spark.createDataFrame(right),
+                     ["k"], "ts", value_cols=["value", "rid"],
+                     order_col="rid").collect()}
+    for _, l in left.iterrows():
+        cand = right[(right["k"] == l["k"]) & (right["ts"] <= l["ts"])]
+        want = None
+        if len(cand):
+            mx = cand[cand["ts"] == cand["ts"].max()]
+            want = int(mx["rid"].max())
+        assert got[l["event_id"]] == want, (l["event_id"], got[l["event_id"]], want)
