@@ -521,3 +521,46 @@ def within_distance_join(spark: SparkSession, points: DataFrame,
     dist = haversine_expr("q_lon", "q_lat", lon, lat)
     return (cand.filter(dist <= F.lit(float(radius_m)))
                 .select("query_id", point_id))
+
+
+def dissolve(df: DataFrame, by_cols, geom_col: str = "geometry") -> DataFrame:
+    """ST_Union-by-attribute (the PostGIS/geopandas ``dissolve``): per
+    group, the exact boolean union of the member polygons — touching or
+    overlapping members fuse into one outer boundary, disjoint members
+    stay a MultiPolygon.
+
+    applyInPandas per group over WKB (the same grouped-map shape as tile
+    assembly): one shuffle keyed by the dissolve attribute; the union
+    itself is the pure-numpy boundary-trace kernel
+    (``kernels.geom.union`` — no shapely in this environment).  Simple
+    polygons (no holes) — the domain the exact trace covers.  Output:
+    group keys + dissolved WKB + part/member counts + exact area."""
+    import pandas as pd
+    from ..kernels import geom as G
+    from ..kernels import wkb as W
+    by_cols = list(by_cols)
+    schema = T.StructType(
+        [df.schema[c] for c in by_cols]
+        + [T.StructField("geometry", T.BinaryType()),
+           T.StructField("n_members", T.IntegerType()),
+           T.StructField("n_parts", T.IntegerType()),
+           T.StructField("area", T.DoubleType())])
+
+    def merge(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        polys = []
+        for blob in pdf[geom_col]:
+            if blob is None:
+                continue
+            for rings in G._as_polygon_list(W.loads(bytes(blob))):
+                polys.append(("Polygon", [rings[0]]))
+        u = G._union_many(polys)
+        n_parts = 0 if u is None else (len(u[1]) if u[0] == "MultiPolygon" else 1)
+        return pd.DataFrame([{
+            **{c: k for c, k in zip(by_cols, keys)},
+            "geometry": W.dumps(u) if u is not None else None,
+            "n_members": len(pdf),
+            "n_parts": n_parts,
+            "area": G._geom_area(u) if u is not None else 0.0,
+        }])
+
+    return df.groupBy(*by_cols).applyInPandas(merge, schema=schema)

@@ -237,3 +237,30 @@ def test_within_distance_join_matches_bruteforce(spark):
                 want.add((q["query_id"], img))
         assert got == want, (radius, len(got), len(want))
     assert len(want) > 0  # the largest radius actually matched something
+
+
+def test_dissolve_grid_cells(spark):
+    """A 2x2 block of touching squares dissolves to ONE square of exact
+    area 4; a group with two disjoint squares stays a 2-part
+    MultiPolygon; areas are exact."""
+    import numpy as np
+    import pandas as pd
+    from laji_pygeoapi_spark.kernels import wkb as W
+    from laji_pygeoapi_spark.operators.spatial import dissolve
+
+    def sq(x, y, s=1.0):
+        return W.dumps(W.polygon(np.array(
+            [[x, y], [x + s, y], [x + s, y + s], [x, y + s]])))
+    rows = ([("block", bytearray(sq(x, y))) for x in (0, 1) for y in (0, 1)]
+            + [("apart", bytearray(sq(10, 10))), ("apart", bytearray(sq(20, 20)))])
+    df = spark.createDataFrame(rows, "region: string, geometry: binary")
+    out = {r["region"]: r for r in dissolve(df, ["region"]).collect()}
+    blk = out["block"]
+    assert blk["n_members"] == 4 and blk["n_parts"] == 1
+    assert abs(blk["area"] - 4.0) < 1e-9
+    g = W.loads(bytes(blk["geometry"]))
+    assert g[0] == "Polygon"
+    xs = [p[0] for p in g[1][0]]; ys = [p[1] for p in g[1][0]]
+    assert (min(xs), min(ys), max(xs), max(ys)) == (0.0, 0.0, 2.0, 2.0)
+    ap = out["apart"]
+    assert ap["n_parts"] == 2 and abs(ap["area"] - 2.0) < 1e-9
