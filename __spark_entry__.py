@@ -539,6 +539,43 @@ def q_pq_topk(spark, sf_dir):
     return SIM.pq_topk(codes, books, qv, k=10)
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """The full FAISS-IVFPQ serving path, ORACLED end-to-end: coarse
+    assignment (rounded-cosine grid), RESIDUAL computation, PQ encoding
+    with DATA-DEFINED books (the residuals of vectors 16..31 against
+    their assigned centroids — so the oracle can derive them), partition-
+    pruned nprobe probe, and per-probe-list residual-ADC scoring.  The
+    DuckDB twin composes the whole structure in one SQL query — the most
+    complex oracle in the contract; every fp accumulation is a fixed
+    left-to-right chain on both sides."""
+    import numpy as np
+    emb = _tbl(spark, sf_dir, "embeddings")
+    dbl = emb.withColumn("e", F.transform("embedding", lambda x: x.cast("double")))
+    codebook = (dbl.filter(F.col("vec_id") < 16)
+                   .select(F.col("vec_id").alias("cid"), F.col("e").alias("cvec")))
+    cents = {int(r["cid"]): np.asarray(r["cvec"], dtype=np.float64)
+             for r in codebook.collect()}
+    sixteen = (SIM.ivf_assign(dbl.filter((F.col("vec_id") >= 16)
+                                         & (F.col("vec_id") < 32)),
+                              codebook, vec_col="e")
+               .orderBy("vec_id").collect())
+    books = np.zeros((8, 16, 8))
+    for r in sixteen:
+        resid = (np.asarray(r["e"], dtype=np.float64)
+                 - cents[int(r["ivf_list"])])
+        c = int(r["vec_id"]) - 16
+        for b in range(8):
+            books[b, c] = resid[b * 8:(b + 1) * 8]
+    qv = dbl.filter(F.col("vec_id") == 0).select("e").first()["e"]
+    slug = sf_dir.rstrip("/").split("/")[-1]
+    root = os.path.join(_REPO, ".data", f"ivfpq_store_{slug}")
+    if not os.path.isdir(root):
+        SIM.write_ivfpq_store(dbl.filter(F.col("vec_id") != 0), codebook,
+                              root, vec_col="e", books=books)
+    return SIM.ivfpq_topk_stored(spark, root, codebook, qv, books=books,
+                                 k=10, nprobe=4)
+
+
 def q_centroid_rank(spark, sf_dir):
     """Per-label centroid cosine top-3 (grouped similarity)."""
     emb = _tbl(spark, sf_dir, "embeddings")
@@ -904,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brute_topk": q_brute_topk,
         "ann_topk": q_ann_topk,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "centroid_rank": q_centroid_rank,
         "text_profile": q_text_profile,
         "token_histogram": q_token_histogram,
@@ -1426,6 +1464,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT l.event_id, r.r_event AS r_event_asof, r.value AS value_asof
         FROM l ASOF LEFT JOIN r
           ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+        "ivfpq_topk": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        code AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 16),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        assign AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, code.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     round(list_dot_product(e.v, code.cvec) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(code.cvec, code.cvec))), 4) DESC, code.cid ASC) AS rn
+            FROM e CROSS JOIN code) WHERE rn = 1),
+        resid AS (SELECT a.vec_id, a.cid AS lst,
+                         list_transform(range(1, 65), i -> a.v[i] - c.cvec[i]) AS rv
+                  FROM assign a JOIN code c ON c.cid = a.cid),
+        books AS (SELECT vec_id - 16 AS bcode, rv FROM resid
+                  WHERE vec_id >= 16 AND vec_id < 32),
+        blocks(b) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)),
+        base AS (SELECT vec_id, lst, rv FROM resid WHERE vec_id <> 0),
+        probes AS (SELECT cid FROM code, q ORDER BY
+                     round(list_dot_product(q.qv, code.cvec) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(code.cvec, code.cvec))), 4) DESC, cid ASC LIMIT 4),
+        d AS (SELECT base.vec_id, base.lst, blocks.b, bk.bcode,
+                     ((base.rv[blocks.b*8 + 1] - bk.rv[blocks.b*8 + 1]) * (base.rv[blocks.b*8 + 1] - bk.rv[blocks.b*8 + 1])) + ((base.rv[blocks.b*8 + 2] - bk.rv[blocks.b*8 + 2]) * (base.rv[blocks.b*8 + 2] - bk.rv[blocks.b*8 + 2])) + ((base.rv[blocks.b*8 + 3] - bk.rv[blocks.b*8 + 3]) * (base.rv[blocks.b*8 + 3] - bk.rv[blocks.b*8 + 3])) + ((base.rv[blocks.b*8 + 4] - bk.rv[blocks.b*8 + 4]) * (base.rv[blocks.b*8 + 4] - bk.rv[blocks.b*8 + 4])) + ((base.rv[blocks.b*8 + 5] - bk.rv[blocks.b*8 + 5]) * (base.rv[blocks.b*8 + 5] - bk.rv[blocks.b*8 + 5])) + ((base.rv[blocks.b*8 + 6] - bk.rv[blocks.b*8 + 6]) * (base.rv[blocks.b*8 + 6] - bk.rv[blocks.b*8 + 6])) + ((base.rv[blocks.b*8 + 7] - bk.rv[blocks.b*8 + 7]) * (base.rv[blocks.b*8 + 7] - bk.rv[blocks.b*8 + 7])) + ((base.rv[blocks.b*8 + 8] - bk.rv[blocks.b*8 + 8]) * (base.rv[blocks.b*8 + 8] - bk.rv[blocks.b*8 + 8])) AS dist
+              FROM base CROSS JOIN blocks CROSS JOIN books bk
+              WHERE base.lst IN (SELECT cid FROM probes)),
+        codes AS (SELECT vec_id, lst, b, bcode FROM (
+            SELECT vec_id, lst, b, bcode, dist, row_number() OVER (
+              PARTITION BY vec_id, b ORDER BY dist, bcode) AS rn FROM d) WHERE rn = 1),
+        qr AS (SELECT p.cid, list_transform(range(1, 65), i -> q.qv[i] - c.cvec[i]) AS qrv
+               FROM probes p JOIN code c ON c.cid = p.cid, q),
+        lut AS (SELECT qr.cid, blocks.b, bk.bcode,
+                       ((qr.qrv[blocks.b*8 + 1] - bk.rv[blocks.b*8 + 1]) * (qr.qrv[blocks.b*8 + 1] - bk.rv[blocks.b*8 + 1])) + ((qr.qrv[blocks.b*8 + 2] - bk.rv[blocks.b*8 + 2]) * (qr.qrv[blocks.b*8 + 2] - bk.rv[blocks.b*8 + 2])) + ((qr.qrv[blocks.b*8 + 3] - bk.rv[blocks.b*8 + 3]) * (qr.qrv[blocks.b*8 + 3] - bk.rv[blocks.b*8 + 3])) + ((qr.qrv[blocks.b*8 + 4] - bk.rv[blocks.b*8 + 4]) * (qr.qrv[blocks.b*8 + 4] - bk.rv[blocks.b*8 + 4])) + ((qr.qrv[blocks.b*8 + 5] - bk.rv[blocks.b*8 + 5]) * (qr.qrv[blocks.b*8 + 5] - bk.rv[blocks.b*8 + 5])) + ((qr.qrv[blocks.b*8 + 6] - bk.rv[blocks.b*8 + 6]) * (qr.qrv[blocks.b*8 + 6] - bk.rv[blocks.b*8 + 6])) + ((qr.qrv[blocks.b*8 + 7] - bk.rv[blocks.b*8 + 7]) * (qr.qrv[blocks.b*8 + 7] - bk.rv[blocks.b*8 + 7])) + ((qr.qrv[blocks.b*8 + 8] - bk.rv[blocks.b*8 + 8]) * (qr.qrv[blocks.b*8 + 8] - bk.rv[blocks.b*8 + 8])) AS qdist
+                FROM qr CROSS JOIN blocks CROSS JOIN books bk),
+        a AS (SELECT codes.vec_id, sum(lut.qdist ORDER BY codes.b) AS adist
+              FROM codes JOIN lut ON lut.cid = codes.lst AND lut.b = codes.b
+                                  AND lut.bcode = codes.bcode
+              GROUP BY codes.vec_id)
+        SELECT vec_id, round(adist, 6) AS adist_r
+        FROM a ORDER BY adist, vec_id LIMIT 10
     """,
         "bbox_filter": f"""
             WITH {_PTS_CTE}

@@ -35,7 +35,7 @@ HEADLINE = [
     "sessions", "ivf_topk", "hll_distinct", "cms_freq",
     "bbox_count_manifest", "decontamination", "pack_sequences",
     "dedup_clusters", "dwithin", "density_grid", "pq_topk",
-    "asof_join", "range_join",
+    "asof_join", "range_join", "ivfpq_topk",
 ]
 
 

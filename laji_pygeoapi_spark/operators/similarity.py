@@ -374,7 +374,8 @@ def pq_topk(codes: DataFrame, books: np.ndarray, query_vec, k: int = 10,
 def write_ivfpq_store(df: DataFrame, codebook: DataFrame, root: str,
                       m_blocks: int = 8, n_codes: int = 16,
                       vec_col: str = "embedding", id_col: str = "vec_id",
-                      round_dp: int = 4, sample_n: int = 4096) -> np.ndarray:
+                      round_dp: int = 4, sample_n: int = 4096,
+                      books: np.ndarray | None = None) -> np.ndarray:
     """The FAISS-IVFPQ layout: coarse-assign every vector to a posting
     list, PQ-encode it, and store ONLY (id, code_0..code_{m-1}) partitioned
     by ``ivf_list`` — the billion-scale configuration where the index is
@@ -395,8 +396,9 @@ def write_ivfpq_store(df: DataFrame, codebook: DataFrame, root: str,
                            assigned["ivf_list"] == codebook["cid"])
              .withColumn("_resid", F.zip_with(F.col(vec_col), F.col("cvec"),
                                               lambda x, c: x - c)))
-    books = pq_train(resid, m_blocks=m_blocks, n_codes=n_codes,
-                     vec_col="_resid", id_col=id_col, sample_n=sample_n)
+    if books is None:
+        books = pq_train(resid, m_blocks=m_blocks, n_codes=n_codes,
+                         vec_col="_resid", id_col=id_col, sample_n=sample_n)
     codes = pq_encode(resid, books, vec_col="_resid", id_col=id_col)
     out = (assigned.select(id_col, "ivf_list")
            .join(codes, id_col))
