@@ -553,26 +553,29 @@ def q_ivfpq_topk(spark, sf_dir):
     dbl = emb.withColumn("e", F.transform("embedding", lambda x: x.cast("double")))
     codebook = (dbl.filter(F.col("vec_id") < 16)
                    .select(F.col("vec_id").alias("cid"), F.col("e").alias("cvec")))
-    cents = {int(r["cid"]): np.asarray(r["cvec"], dtype=np.float64)
-             for r in codebook.collect()}
-    sixteen = (SIM.ivf_assign(dbl.filter((F.col("vec_id") >= 16)
-                                         & (F.col("vec_id") < 32)),
-                              codebook, vec_col="e")
-               .orderBy("vec_id").collect())
-    books = np.zeros((8, 16, 8))
-    for r in sixteen:
-        resid = (np.asarray(r["e"], dtype=np.float64)
-                 - cents[int(r["ivf_list"])])
-        c = int(r["vec_id"]) - 16
-        for b in range(8):
-            books[b, c] = resid[b * 8:(b + 1) * 8]
     qv = dbl.filter(F.col("vec_id") == 0).select("e").first()["e"]
     slug = sf_dir.rstrip("/").split("/")[-1]
     root = os.path.join(_REPO, ".data", f"ivfpq_store_{slug}")
     if not os.path.isdir(root):
+        # data-defined books (residuals of vecs 16..31) are derived once,
+        # at index-build time; queries load them from the store's
+        # _books.npy like any real index metadata
+        cents = {int(r["cid"]): np.asarray(r["cvec"], dtype=np.float64)
+                 for r in codebook.collect()}
+        sixteen = (SIM.ivf_assign(dbl.filter((F.col("vec_id") >= 16)
+                                             & (F.col("vec_id") < 32)),
+                                  codebook, vec_col="e")
+                   .orderBy("vec_id").collect())
+        books = np.zeros((8, 16, 8))
+        for r in sixteen:
+            resid = (np.asarray(r["e"], dtype=np.float64)
+                     - cents[int(r["ivf_list"])])
+            c = int(r["vec_id"]) - 16
+            for b in range(8):
+                books[b, c] = resid[b * 8:(b + 1) * 8]
         SIM.write_ivfpq_store(dbl.filter(F.col("vec_id") != 0), codebook,
                               root, vec_col="e", books=books)
-    return SIM.ivfpq_topk_stored(spark, root, codebook, qv, books=books,
+    return SIM.ivfpq_topk_stored(spark, root, codebook, qv, books=None,
                                  k=10, nprobe=4)
 
 
