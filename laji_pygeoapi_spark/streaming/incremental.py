@@ -25,12 +25,17 @@ from ..sources.fixtures import IMAGES_SCHEMA
 
 
 def stream_ingest(spark: SparkSession, source_dir: str, root: str,
-                  checkpoint_dir: str | None = None) -> None:
+                  checkpoint_dir: str | None = None,
+                  bloom_col: str | None = None) -> None:
     """availableNow streaming append of new image files into the store.
 
     Exactly-once per file via Spark's file-source + checkpoint tracking; the
     foreachBatch body is the shared ingest projection so stream and batch
-    rows are bit-identical.
+    rows are bit-identical.  Each micro-batch goes through
+    ``write_partitioned``, so STREAMED stores carry the same per-batch
+    lineage manifests (counts, envelopes, checksums, optional bloom index)
+    as batch-written ones — manifest counts, ``bbox_count`` and bloom GETs
+    all work on a store fed only by this stream.
     """
     from ..plans.ingest import ingest_fused
     checkpoint_dir = checkpoint_dir or os.path.join(root, "_stream_checkpoint")
@@ -40,10 +45,8 @@ def stream_ingest(spark: SparkSession, source_dir: str, root: str,
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         prepared = ingest_fused(batch_df)
-        part_cols = [c for c in store.PARTITION_COLS if c in prepared.columns]
-        (prepared.repartition(*[F.col(c) for c in part_cols])
-                 .write.mode("append").partitionBy(*part_cols)
-                 .parquet(os.path.join(root, "data")))
+        store.write_partitioned(prepared, root, f"stream-{batch_id}",
+                                bloom_col=bloom_col)
 
     (stream.writeStream.foreachBatch(process_batch)
            .option("checkpointLocation", checkpoint_dir)

@@ -494,3 +494,28 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(chain, max_iter=3)
     ok = connected_components(chain, max_iter=15).collect()
     assert {r["comp"] for r in ok} == {0}
+
+
+def test_stream_ingest_carries_manifests_and_bloom(spark, root, tmp_path):
+    """A store fed ONLY by the stream has working manifest counts, partial
+    bbox counts, and a bloom GET — per-micro-batch write_partitioned gives
+    streamed stores the same metadata layer as batch ones."""
+    from laji_pygeoapi_spark.streaming.incremental import stream_ingest
+    src = str(tmp_path / "src")
+    fixtures.images_df(spark, 150, with_bytes=False).coalesce(1) \
+        .write.mode("append").parquet(src)
+    fixtures.images_df(spark, 300, with_bytes=False) \
+        .filter(F.col("image_id") >= "IMG_000000150").coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream_ingest(spark, src, root, bloom_col="image_id")
+    assert store.count_from_manifest(root) == 300
+    t = store.read_table(spark, root)
+    bbox = (21.0, 61.0, 29.0, 67.0)
+    expect = t.filter((F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+                      & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])).count()
+    assert store.bbox_count(spark, root, bbox) == expect
+    got = store.get_by_id(spark, root, "IMG_000000222").collect()
+    assert len(got) == 1
+    # idempotency still holds (file-source checkpoint)
+    stream_ingest(spark, src, root, bloom_col="image_id")
+    assert store.count_from_manifest(root) == 300
