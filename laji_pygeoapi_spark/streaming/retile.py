@@ -77,10 +77,9 @@ def stream_ingest_retile(spark: SparkSession, source_dir: str, root: str,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         prepared = ingest_fused(batch_df).persist()
         try:
-            part_cols = [c for c in store.PARTITION_COLS if c in prepared.columns]
-            (prepared.repartition(*[F.col(c) for c in part_cols])
-                     .write.mode("append").partitionBy(*part_cols)
-                     .parquet(os.path.join(root, "data")))
+            # write_partitioned so the retile store also carries lineage
+            # manifests per micro-batch (counts/bbox_count/GET all work)
+            store.write_partitioned(prepared, root, f"retile-{batch_id}")
             dirty_rows = prepared.select(tx, ty).distinct().collect()
             if not dirty_rows:
                 return
