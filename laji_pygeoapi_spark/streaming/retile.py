@@ -77,10 +77,13 @@ def stream_ingest_retile(spark: SparkSession, source_dir: str, root: str,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         prepared = ingest_fused(batch_df).persist()
         try:
-            # write_partitioned so the retile store also carries lineage
-            # manifests per micro-batch (counts/bbox_count/GET all work)
-            store.write_partitioned(prepared, root, f"retile-{batch_id}")
+            # dirty detection FIRST (materializes the cache); the write's
+            # own persist/unpersist cycle then reads the cached batch.
+            # write_partitioned gives the retile store the same lineage
+            # manifests per micro-batch as every other store.
             dirty_rows = prepared.select(tx, ty).distinct().collect()
+            n_batch = prepared.count()  # while cached
+            store.write_partitioned(prepared, root, f"retile-{batch_id}")
             if not dirty_rows:
                 return
             dirty = spark.createDataFrame(
@@ -92,7 +95,7 @@ def stream_ingest_retile(spark: SparkSession, source_dir: str, root: str,
                 {"batch_id": batch_id, "zoom": zoom, "written_at": time.time(),
                  "dirty_tiles": sorted([int(r[tx]), int(r[ty])] for r in dirty_rows),
                  "n_tiles": n_tiles,
-                 "n_batch_rows": prepared.count()})
+                 "n_batch_rows": n_batch})
         finally:
             prepared.unpersist()
 
