@@ -763,9 +763,7 @@ def q_decontamination(spark, sf_dir):
                  F.when(did % 13 == 0, F.concat(F.lit(" "), F.lit(b0))).otherwise(F.lit("")),
                  F.when(did % 17 == 0, F.concat(F.lit(" "), F.lit(b97))).otherwise(F.lit("")))
     seeded = docs.withColumn("text", t)
-    bench = seeded.filter(did % 97 == 0)
-    train = seeded.filter(did % 97 != 0)
-    return DD.ngram_overlap(train, bench, n=8)
+    return DD.ngram_overlap_split(seeded, (F.col("doc_id") % 97) == 0, n=8)
 
 
 def q_pack_sequences(spark, sf_dir):

@@ -576,3 +576,29 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         return labels
     finally:
         und.unpersist()
+
+
+def ngram_overlap_split(df: DataFrame, bench_pred, n: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """:func:`ngram_overlap` for the common case where the benchmark is a
+    PREDICATE over the same corpus (holdout split): the n-gram projection
+    is computed and cached ONCE and both sides filter it — one tokenize
+    pass instead of two (the same tokenize-once fusion as
+    ``minhash_pairs_verified``)."""
+    from . import text as TXO
+    staged = (df.select(id_col, text_col)
+                .withColumn("_toks", TXO.tokenize(F.col(text_col)))
+                .withColumn("_is_bench", bench_pred))
+    g = F.array_distinct(TXO.shingles_from_tokens(F.col("_toks"), n))
+    # persisted (not unpersisted — the returned plan consumes it lazily;
+    # same convention as curate()'s survivor cache, LRU-evicted)
+    grams = (staged.select(id_col, "_is_bench", F.explode(g).alias("g"))
+                   .filter(F.col("g") != "")
+                   .withColumn("gh", F.xxhash64("g"))
+                   .select(id_col, "_is_bench", "gh")
+                   .persist())
+    bench_hashes = grams.filter(F.col("_is_bench")).select("gh").distinct()
+    doc_grams = grams.filter(~F.col("_is_bench"))
+    hits = doc_grams.join(F.broadcast(bench_hashes), "gh")
+    return (hits.groupBy(id_col)
+                .agg(F.countDistinct("gh").alias("n_overlaps")))
