@@ -519,3 +519,24 @@ def test_stream_ingest_carries_manifests_and_bloom(spark, root, tmp_path):
     # idempotency still holds (file-source checkpoint)
     stream_ingest(spark, src, root, bloom_col="image_id")
     assert store.count_from_manifest(root) == 300
+
+
+def test_bbox_count_randomized_equivalence(spark, root):
+    """15 random bboxes (including slivers, cell-interior boxes and boxes
+    larger than the data extent): manifest-path count == scan count."""
+    import numpy as np
+    imgs = fixtures.images_df(spark, 500, with_bytes=False)
+    store.write_partitioned(ING.ingest_fused(imgs), root, "j1")
+    t = store.read_table(spark, root).select("lon", "lat").cache()
+    rng = np.random.RandomState(31)
+    for i in range(15):
+        cx = rng.uniform(19.0, 31.6)
+        cy = rng.uniform(59.4, 70.1)
+        w = rng.choice([0.05, 0.5, 2.0, 8.0, 30.0])
+        h = rng.choice([0.05, 0.5, 2.0, 8.0, 30.0])
+        bbox = (cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2)
+        expect = t.filter((F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+                          & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])).count()
+        got = store.bbox_count(spark, root, bbox)
+        assert got == expect, (i, bbox, got, expect)
+    t.unpersist()
