@@ -222,19 +222,29 @@ def update_hll_store(spark, batch_df: DataFrame, root: str, key_col: str,
     """Fold one batch into a PERSISTED register store (tiny parquet, ≤ 2^p
     rows per group) — the incremental form: a stream or nightly delta
     updates cardinality metadata without ever rescanning the table.
-    Registers are max-merged with the stored state and swapped in whole
-    (they are metadata-sized; a torn swap is rebuildable from the data)."""
+    Registers are max-merged with the stored state and swapped in whole.
+    The swap renames the OLD store aside before installing the new one
+    (round-3 ADVICE: rmtree-then-replace had a window with NO store at all,
+    and the next batch would silently fold into emptiness and under-count
+    until a full rebuild) — a crash now leaves either the old or the new
+    store present, never neither."""
     import os
     import shutil
     key = key_expr(F.col(key_col), batch_df.schema[key_col].dataType)
     batch = batch_df.select(*group_cols, key.alias("_k"))
     new = hll_sketch(batch, "_k", group_cols, p)
+    old = root + ".old"
+    if os.path.isdir(old) and not os.path.isdir(root):
+        os.replace(old, root)  # heal a crash between the two renames below
     if os.path.isdir(root):
         new = hll_merge(spark.read.parquet(root), new, group_cols=group_cols)
     tmp = root + ".tmp"
     new.coalesce(1).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(root):
+        os.replace(root, old)
     os.replace(tmp, root)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def read_hll_store(spark, root: str, group_cols=(), p: int = 8) -> dict:

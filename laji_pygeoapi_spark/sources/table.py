@@ -47,7 +47,8 @@ def write_partitioned(df: DataFrame, root: str, job_id: str,
                       mode: str = "append",
                       partition_cols=PARTITION_COLS,
                       bloom_col: str | None = None,
-                      bloom_bits: int = 8192) -> dict:
+                      bloom_bits: int = 8192,
+                      staged: bool = False) -> dict:
     """Write the table partitioned by (geom_kind, cell_prefix) and emit a
     lineage manifest.  An explicit repartition on the partition key bounds
     file counts (one shuffle, then parallel writes per partition).
@@ -61,8 +62,28 @@ def write_partitioned(df: DataFrame, root: str, job_id: str,
     false positives (the default 8192 suits ≤1 k rows; at petabyte scale
     the per-partition manifest bloom stays the COARSE pruner and parquet's
     per-row-group blooms — enabled by the same flag — do the fine skipping
-    inside each file)."""
+    inside each file).
+
+    ``staged=True``: EXACTLY-ONCE append (round-3 ADVICE — foreachBatch
+    replays a batch whose checkpoint didn't commit, and a plain append
+    would duplicate its rows).  Iceberg-style commit protocol on plain
+    files: (1) if this job's manifest already exists the append is
+    committed — return it unchanged; (2) delete any ``<job_id>-*`` data
+    files left by a half-published attempt; (3) write the batch to a
+    private ``data.staged-<job_id>`` directory; (4) move each parquet file
+    into the live tree under a ``<job_id>-`` filename prefix; (5) publish
+    by atomically writing the manifest — the single commit point.  A crash
+    anywhere before (5) is healed by the replay at (2); after (5) the
+    replay is a no-op at (1)."""
     part_cols = [c for c in partition_cols if c in df.columns]
+    if bloom_col:
+        _check_bloom_dtype(df, bloom_col)
+    manifest_path = os.path.join(root, "_manifests", f"manifest-{job_id}.json")
+    if staged:
+        if os.path.exists(manifest_path):  # committed — replay is a no-op
+            with open(manifest_path) as f:
+                return json.load(f)
+        _heal_staged(root, job_id)
     # persist the batch FIRST so both consumers below (the partitioned write
     # and the manifest aggregation) resolve to the same cached subtree and
     # the upstream plan is evaluated ONCE (round-1 ADVICE: it ran twice);
@@ -86,12 +107,16 @@ def write_partitioned(df: DataFrame, root: str, job_id: str,
         out = out.sortWithinPartitions(sort_key)
     t0 = time.time()
     try:
-        writer = out.write.mode(mode).partitionBy(*part_cols)
+        target = os.path.join(root, f"data.staged-{job_id}") if staged \
+            else os.path.join(root, "data")
+        writer = out.write.mode("overwrite" if staged else mode).partitionBy(*part_cols)
         if bloom_col:
             writer = (writer.option(f"parquet.bloom.filter.enabled#{bloom_col}", "true")
                             .option(f"parquet.bloom.filter.expected.ndv#{bloom_col}",
                                     str(max(bloom_bits // 10, 64))))
-        writer.parquet(os.path.join(root, "data"))
+        writer.parquet(target)
+        if staged:
+            _publish_staged(root, job_id)
         write_s = time.time() - t0
         manifest = build_manifest(manifest_src, part_cols,
                                   bloom_col=bloom_col, bloom_bits=bloom_bits)
@@ -119,7 +144,63 @@ def write_partitioned(df: DataFrame, root: str, job_id: str,
     return manifest_doc
 
 
+def _heal_staged(root: str, job_id: str) -> None:
+    """Remove every trace of an UNCOMMITTED staged append for ``job_id``:
+    its ``<job_id>-`` prefixed data files and its staging directory.  Safe
+    because the caller verified the commit marker (the job's manifest) is
+    absent — these files are invisible to manifest-driven readers and would
+    duplicate rows once the replay re-appends them."""
+    import shutil
+    shutil.rmtree(os.path.join(root, f"data.staged-{job_id}"), ignore_errors=True)
+    data_dir = os.path.join(root, "data")
+    prefix = f"{job_id}-"
+    for dirpath, _dirnames, filenames in os.walk(data_dir):
+        for fname in filenames:
+            if fname.startswith(prefix):
+                os.remove(os.path.join(dirpath, fname))
+
+
+def _publish_staged(root: str, job_id: str) -> None:
+    """Move a staged write's parquet files into the live ``data/`` tree
+    under a ``<job_id>-`` filename prefix (so :func:`_heal_staged` can
+    identify them), then drop the staging directory.  Rename-only — no data
+    copy on a same-filesystem store."""
+    import shutil
+    staged = os.path.join(root, f"data.staged-{job_id}")
+    data_dir = os.path.join(root, "data")
+    for dirpath, _dirnames, filenames in os.walk(staged):
+        rel = os.path.relpath(dirpath, staged)
+        for fname in filenames:
+            if not fname.endswith(".parquet"):
+                continue  # _SUCCESS / .crc markers stay behind
+            dest_dir = data_dir if rel == "." else os.path.join(data_dir, rel)
+            os.makedirs(dest_dir, exist_ok=True)
+            os.replace(os.path.join(dirpath, fname),
+                       os.path.join(dest_dir, f"{job_id}-{fname}"))
+    shutil.rmtree(staged, ignore_errors=True)
+
+
 _BLOOM_K = 4  # hash rows per key (FPR ≈ (1 - e^(-k·n/bits))^k)
+
+
+def _check_bloom_dtype(df: DataFrame, col: str) -> None:
+    """Only string/integral columns may carry the manifest bloom index.
+
+    The distributed build routes other types (float, date, timestamp,
+    boolean) through JVM ``xxhash64`` on the NATIVE value while the
+    driver-side :func:`bloom_words` probe hashes ``str(value)`` — the two
+    diverge, and a diverging bloom makes ``lookup_partitions`` report a
+    false MISS for a present key: a silently-empty GET, a wrong answer
+    (round-3 ADVICE).  Failing the write is the safe contract."""
+    from pyspark.sql import types as T
+    dtype = df.schema[col].dataType
+    if not isinstance(dtype, (T.StringType, T.LongType, T.IntegerType,
+                              T.ShortType, T.ByteType)):
+        raise ValueError(
+            f"bloom_col={col!r} has type {dtype.simpleString()}; the manifest "
+            "bloom index supports only string and integral columns (other "
+            "types would make the driver-side probe diverge from the "
+            "distributed build and falsely prune present keys)")
 
 
 def _with_bloom_positions(df: DataFrame, col: str, bits: int,
@@ -216,21 +297,34 @@ def _recover_compaction(root: str) -> None:
     crash in the gap leaves NO data/ directory).  Recovery rolls BACK to
     the newest ``data.pre-compact-*`` snapshot — always safe because the
     pre-compact data is the verified source the swap started from — and
-    discards any half-written ``data.compact``."""
+    discards any half-written ``data.compact``.
+
+    Snapshot selection is by directory mtime, NOT name sort — job ids need
+    not sort chronologically (round-3 ADVICE).  When ``data/`` already
+    exists, any ``data.pre-compact-*`` snapshot is STRANDED garbage (the
+    swap completed but the cleanup rmtree did not); it is removed here so a
+    later crash can never roll back to a stale snapshot and silently drop
+    appends."""
     import shutil
     data_dir = os.path.join(root, "data")
-    if os.path.isdir(data_dir):
-        return
-    stranded = sorted(d for d in os.listdir(root) if d.startswith("data.pre-compact-")) \
+    stranded = [d for d in os.listdir(root) if d.startswith("data.pre-compact-")] \
         if os.path.isdir(root) else []
+    if os.path.isdir(data_dir):
+        for d in stranded:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        return
     if stranded:
-        os.replace(os.path.join(root, stranded[-1]), data_dir)
+        newest = max(stranded,
+                     key=lambda d: os.path.getmtime(os.path.join(root, d)))
+        os.replace(os.path.join(root, newest), data_dir)
+        for d in stranded:
+            if d != newest:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
         shutil.rmtree(os.path.join(root, "data.compact"), ignore_errors=True)
 
 
 def read_table(spark: SparkSession, root: str) -> DataFrame:
-    if not os.path.isdir(os.path.join(root, "data")):
-        _recover_compaction(root)
+    _recover_compaction(root)  # heal crash gap / sweep stranded snapshots
     return spark.read.parquet(os.path.join(root, "data"))
 
 

@@ -44,9 +44,13 @@ def stream_ingest(spark: SparkSession, source_dir: str, root: str,
               .parquet(source_dir))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # staged=True makes the append EXACTLY-ONCE under foreachBatch
+        # replay (round-3 ADVICE): the per-batch manifest is the commit
+        # marker; a replayed committed batch is a no-op, a half-published
+        # one is healed before re-appending.
         prepared = ingest_fused(batch_df)
         store.write_partitioned(prepared, root, f"stream-{batch_id}",
-                                bloom_col=bloom_col)
+                                bloom_col=bloom_col, staged=True)
 
     (stream.writeStream.foreachBatch(process_batch)
            .option("checkpointLocation", checkpoint_dir)

@@ -83,7 +83,11 @@ def stream_ingest_retile(spark: SparkSession, source_dir: str, root: str,
             # manifests per micro-batch as every other store.
             dirty_rows = prepared.select(tx, ty).distinct().collect()
             n_batch = prepared.count()  # while cached
-            store.write_partitioned(prepared, root, f"retile-{batch_id}")
+            # staged=True: exactly-once store append under foreachBatch
+            # replay (round-3 ADVICE); the tile rewrite below and the HLL
+            # fold are idempotent on their own, the raw append was not.
+            store.write_partitioned(prepared, root, f"retile-{batch_id}",
+                                    staged=True)
             if not dirty_rows:
                 return
             dirty = spark.createDataFrame(

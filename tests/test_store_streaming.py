@@ -540,3 +540,76 @@ def test_bbox_count_randomized_equivalence(spark, root):
         got = store.bbox_count(spark, root, bbox)
         assert got == expect, (i, bbox, got, expect)
     t.unpersist()
+
+
+def test_staged_append_exactly_once(spark, root):
+    """Round-3 ADVICE: foreachBatch replay must not duplicate store rows.
+    staged=True implements an Iceberg-style commit: the per-batch manifest
+    is the commit marker; a committed replay is a no-op and a half-published
+    replay (data files in, manifest missing) is healed before re-append."""
+    imgs = ING.ingest_fused(fixtures.images_df(spark, 200, with_bytes=False))
+    doc = store.write_partitioned(imgs, root, "b0", staged=True)
+    assert doc["total_rows"] == 200
+    assert store.read_table(spark, root).count() == 200
+    # committed replay: no-op, returns the recorded manifest
+    again = store.write_partitioned(imgs, root, "b0", staged=True)
+    assert again["total_rows"] == 200
+    assert store.read_table(spark, root).count() == 200
+    assert store.count_from_manifest(root) == 200
+    # crash-before-commit replay: data files landed, manifest did not
+    os.remove(os.path.join(root, "_manifests", "manifest-b0.json"))
+    healed = store.write_partitioned(imgs, root, "b0", staged=True)
+    assert healed["total_rows"] == 200
+    assert store.read_table(spark, root).count() == 200  # not 400
+    assert store.count_from_manifest(root) == 200
+    ver = store.verify_against_manifest(spark, root, "b0")
+    assert ver["ok"], ver["mismatches"][:2]
+    # a second DISTINCT batch still appends
+    more = ING.ingest_fused(
+        fixtures.images_df(spark, 300, with_bytes=False)
+    ).filter(F.col("image_id") >= "IMG_000000200")
+    store.write_partitioned(more, root, "b1", staged=True)
+    assert store.read_table(spark, root).count() == 300
+    assert store.count_from_manifest(root) == 300
+
+
+def test_bloom_col_dtype_validated(spark, root):
+    """Round-3 ADVICE: a bloom on a non-string/integral column would make
+    the driver probe diverge from the distributed build (false MISS on a
+    present key = silently-empty GET).  The write must refuse it."""
+    imgs = ING.ingest_fused(fixtures.images_df(spark, 50, with_bytes=False))
+    with pytest.raises(ValueError, match="bloom_col"):
+        store.write_partitioned(imgs, root, "bad", bloom_col="lon")
+    # string and integral columns remain accepted
+    store.write_partitioned(imgs, root, "ok1", bloom_col="image_id")
+    ok = imgs.withColumn("nid", F.xxhash64("image_id"))
+    store.write_partitioned(ok, str(root) + "2", "ok2", bloom_col="nid")
+
+
+def test_recover_compaction_cleans_stranded_snapshots(spark, root):
+    """Round-3 ADVICE: once data/ exists, any data.pre-compact-* snapshot
+    is stranded garbage that a later crash could roll back to (silently
+    dropping appends) — read/compact paths must remove it."""
+    imgs = ING.ingest_fused(fixtures.images_df(spark, 100, with_bytes=False))
+    store.write_partitioned(imgs, root, "j1")
+    stale = os.path.join(root, "data.pre-compact-zzz")
+    os.makedirs(stale)
+    assert store.read_table(spark, root).count() == 100
+    assert not os.path.isdir(stale)
+
+
+def test_hll_store_swap_never_absent(spark, tmp_path):
+    """Round-3 ADVICE: the register-store swap keeps either old or new
+    state on disk at every instant; the heal path restores a store stranded
+    at '<root>.old' by a crash between the two renames."""
+    from laji_pygeoapi_spark.operators import sketch as SK
+    sroot = str(tmp_path / "hll")
+    df = fixtures.images_df(spark, 300, with_bytes=False)
+    a = df.filter(F.col("image_id") < "IMG_000000150")
+    b = df.filter(F.col("image_id") >= "IMG_000000150")
+    SK.update_hll_store(spark, a, sroot, "image_id")
+    # simulate the crash window: store renamed aside, new never installed
+    os.replace(sroot, sroot + ".old")
+    SK.update_hll_store(spark, b, sroot, "image_id")
+    est = SK.read_hll_store(spark, sroot)[()]
+    assert abs(est - 300) / 300 < 0.15  # folded BOTH batches, not just b
