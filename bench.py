@@ -35,7 +35,8 @@ HEADLINE = [
     "sessions", "ivf_topk", "hll_distinct", "cms_freq",
     "bbox_count_manifest", "decontamination", "pack_sequences",
     "dedup_clusters", "dwithin", "density_grid", "pq_topk",
-    "asof_join", "range_join", "ivfpq_topk",
+    "asof_join", "range_join", "ivfpq_topk", "curation",
+    "multimodal_curation",
 ]
 
 
@@ -114,10 +115,13 @@ def main() -> None:
     # warmup at the smallest sf: starts python workers, compiles each plan
     # shape once — bench measures steady-state execution, not JVM cold start
     warm_dir = "/root/testdata/sf0.001"
+    from laji_pygeoapi_spark.plans.curation import release_caches
     if os.path.isdir(warm_dir):
         for name in HEADLINE:
             try:
-                queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+                wdf = queries[name](spark, warm_dir)
+                wdf.write.format("noop").mode("overwrite").save()
+                release_caches(wdf)
             except Exception:
                 pass
 
@@ -133,6 +137,10 @@ def main() -> None:
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
+            # deterministic cache release (round-3 ADVICE): a fused
+            # pipeline's persisted projections must not bleed into the
+            # next query's timing window
+            release_caches(df)
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 

@@ -357,15 +357,18 @@ def minhash_pairs_verified(df: DataFrame, text_col: str = "text",
     join read the cached blocks instead of re-scanning + re-tokenizing the
     corpus — one scan and one tokenize pass replace three.
 
-    The cache lives for the query's lifetime (Spark evicts under pressure);
-    a caller running many dedup jobs back-to-back can
-    ``spark.catalog.clearCache()`` between them."""
+    The cache is registered on the result as ``_cached_deps`` — call
+    ``plans.curation.release_caches(result)`` after materializing to free
+    the blocks deterministically (round-3 ADVICE: un-released persists
+    leak until LRU eviction and skew back-to-back benches)."""
     toks = _spread_small_input(df.select(
         F.col(id_col).alias("id"), TX.tokenize(F.col(text_col)).alias("_toks"))).persist()
     pairs = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands,
                                    shingle_n, toks=toks)
-    return jaccard_verify(df, pairs, text_col, id_col, shingle_n, threshold,
-                          toks=toks)
+    out = jaccard_verify(df, pairs, text_col, id_col, shingle_n, threshold,
+                         toks=toks)
+    out._cached_deps = [toks]
+    return out
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -590,8 +593,8 @@ def ngram_overlap_split(df: DataFrame, bench_pred, n: int = 8,
                 .withColumn("_toks", TXO.tokenize(F.col(text_col)))
                 .withColumn("_is_bench", bench_pred))
     g = F.array_distinct(TXO.shingles_from_tokens(F.col("_toks"), n))
-    # persisted (not unpersisted — the returned plan consumes it lazily;
-    # same convention as curate()'s survivor cache, LRU-evicted)
+    # persisted; handle registered on the result (_cached_deps) so callers
+    # can release deterministically via plans.curation.release_caches
     grams = (staged.select(id_col, "_is_bench", F.explode(g).alias("g"))
                    .filter(F.col("g") != "")
                    .withColumn("gh", F.xxhash64("g"))
@@ -600,5 +603,7 @@ def ngram_overlap_split(df: DataFrame, bench_pred, n: int = 8,
     bench_hashes = grams.filter(F.col("_is_bench")).select("gh").distinct()
     doc_grams = grams.filter(~F.col("_is_bench"))
     hits = doc_grams.join(F.broadcast(bench_hashes), "gh")
-    return (hits.groupBy(id_col)
-                .agg(F.countDistinct("gh").alias("n_overlaps")))
+    out = (hits.groupBy(id_col)
+               .agg(F.countDistinct("gh").alias("n_overlaps")))
+    out._cached_deps = [grams]
+    return out
