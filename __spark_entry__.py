@@ -803,8 +803,12 @@ def q_dedup_clusters(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     pairs = DD.minhash_pairs_verified(docs, num_perm=64, bands=16, threshold=0.7)
     cc = DD.connected_components(pairs)
-    return cc.select(F.col("id").alias("doc_id"),
-                     F.col("comp").alias("component"))
+    out = cc.select(F.col("id").alias("doc_id"),
+                    F.col("comp").alias("component"))
+    # carry the minhash stage's cache handle so bench/pipeline callers can
+    # release it (plans.curation.release_caches)
+    out._cached_deps = getattr(pairs, "_cached_deps", [])
+    return out
 
 
 def q_multimodal_curation(spark, sf_dir):

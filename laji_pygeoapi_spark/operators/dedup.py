@@ -528,19 +528,30 @@ def ngram_overlap(docs: DataFrame, benchmark: DataFrame, n: int = 8,
 
 def connected_components(edges: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", vertices: DataFrame | None = None,
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20, jump_after: int = 2) -> DataFrame:
     """Connected components over a pair list — the TRANSITIVE CLOSURE step
     every near-dup pipeline needs after pair generation (A~B and B~C must
     collapse to ONE canonical doc, which pairwise dropping alone gets
     wrong when chains are longer than 2).
 
-    Min-label propagation: every vertex starts as its own label; each
-    round takes the min label across its neighborhood; converged when no
-    label changes.  Rounds ≈ graph diameter (near-dup clusters are
-    shallow); each round is one shuffle keyed by vertex, and
-    ``localCheckpoint`` truncates the growing lineage (the standard
-    iterative-algorithm hazard on Spark).  Returns (id, component) with
-    component = min vertex id of the component — deterministic.
+    Min-label propagation with ADAPTIVE POINTER JUMPING (round-3 verdict
+    #3): every vertex starts as its own label; each round takes the min
+    label across its neighborhood, and from round ``jump_after``+1 on
+    additionally replaces its label with ITS LABEL'S label (the
+    path-halving step of union-find).  The jump doubles the distance a
+    label travels per round, so deep graphs converge in ≈ log2(diameter)
+    rounds instead of diameter — a length-64 chain in 8 rounds, not 63 —
+    while the typical SHALLOW near-dup graph (diameter ≤ 2·jump_after)
+    converges in the plain rounds and never pays the jump's extra
+    label-keyed join (measured: unconditional jumping cost +60 % wall on
+    the sf0.1 dedup_clusters workload whose diameter is ~3).  Each plain
+    round is one vertex-keyed shuffle; ``localCheckpoint`` truncates the
+    growing lineage (the standard iterative-algorithm hazard on Spark).
+    The jump is safe: a vertex's label is always a vertex of its own
+    component, so the label's label is too, and it is never larger
+    (labels only decrease).  Returns (id, component) with component = min
+    vertex id of the component — deterministic.  The converged frame
+    carries the round count as ``_cc_rounds`` (test/diagnostic hook).
 
     ``vertices``: optional one-column frame adding isolated vertices
     (returned as their own singleton component).
@@ -549,25 +560,52 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     und = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     und = und.persist()
+    n_edges = und.count()  # materializes the persist; sizes the iteration
     verts = und.select(F.col("src").alias("id")).distinct()
     if vertices is not None:
         vcol = vertices.columns[0]
         verts = verts.unionByName(
             vertices.select(F.col(vcol).alias("id"))).distinct()
+    spark = edges.sparkSession
+    # Size the per-round shuffle to the GRAPH, not the session default: an
+    # iterative algorithm pays empty-task launch latency EVERY round, so 32
+    # near-empty partitions × rounds dominated toy-scale wall (measured
+    # 1.9 s for 2 rounds over 256 edges).  ~100 k edge-endpoints per task
+    # keeps partitions executor-memory-sized at any scale; the conf is
+    # restored after the loop (it only affects plans compiled inside it).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    iter_parts = max(1, min(int(prev_parts), (2 * n_edges) // 100_000 + 1))
     labels = verts.select("id", F.col("id").alias("comp")).localCheckpoint()
+    spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
     try:
-        for _ in range(max_iter):
+        for rounds in range(1, max_iter + 1):
             nbr = (und.join(labels, und["src"] == labels["id"])
-                      .select(F.col("dst").alias("id"), "comp"))
+                      .select(F.col("dst").alias("id"), "comp",
+                              F.lit(None).cast("long").alias("_old")))
+            # the old label rides through the aggregation (labels has one
+            # row per id, so min(_old) recovers it exactly): convergence
+            # detection becomes a FILTER on the round's own output instead
+            # of an old-vs-new join — one fewer shuffle join per round
+            mins = (labels.select("id", "comp", F.col("comp").alias("_old"))
+                    .unionByName(nbr)
+                    .groupBy("id").agg(F.min("comp").alias("comp"),
+                                       F.min("_old").alias("_old")))
+            if rounds > jump_after:
+                # pointer jump: comp <- comp's comp (left join: every comp
+                # IS a vertex id, but stay null-safe under schema drift)
+                parent = mins.select(F.col("id").alias("_pid"),
+                                     F.col("comp").alias("_pcomp"))
+                mins = (mins.join(parent, mins["comp"] == parent["_pid"], "left")
+                            .select("id",
+                                    F.coalesce("_pcomp", "comp").alias("comp"),
+                                    "_old"))
             # lazy checkpoint: the convergence count below is the action
             # that materializes it — one Spark job per round, not two
-            new = (labels.unionByName(nbr)
-                   .groupBy("id").agg(F.min("comp").alias("comp"))
-                   .localCheckpoint(eager=False))
-            changed = (labels.alias("o").join(new.alias("n"), "id")
-                       .filter(F.col("o.comp") != F.col("n.comp")).count())
-            labels = new
+            new = mins.localCheckpoint(eager=False)
+            changed = new.filter(F.col("comp") < F.col("_old")).count()
+            labels = new.select("id", "comp")
             if changed == 0:
+                labels._cc_rounds = rounds
                 break
         else:
             # silent non-convergence would return WRONG components for a
@@ -578,6 +616,7 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                 "rounds (component diameter exceeds max_iter); raise it")
         return labels
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         und.unpersist()
 
 
