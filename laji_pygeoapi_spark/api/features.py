@@ -193,6 +193,32 @@ def tm35fin_bbox_polygon(bbox, densify: int = 64) -> bytes:
     return W.dumps(W.polygon(shell))
 
 
+def _keyset_after_predicate(keys: list[tuple[str, str]], values: list):
+    """Strict lexicographic "after the cursor" predicate over
+    ``(col, direction)`` sort keys with the cursor row's ``values``.
+
+    Expansion: OR over levels i of (all shallower levels tied) AND (level i
+    strictly after).  Null semantics follow Spark's sort defaults — asc
+    places nulls FIRST (cursor null => "after" means non-null; non-null
+    cursor excludes nulls), desc places nulls LAST (non-null cursor =>
+    nulls are still ahead; null cursor => nothing further at that level).
+    Ties use null-safe equality so a null block pages through correctly.
+    Plain column comparisons throughout — the predicate reaches the scan
+    like any other filter (rowgroup min/max pruning on the leading key)."""
+    pred = F.lit(False)
+    ties = F.lit(True)
+    for (name, direction), v in zip(keys, values):
+        col = F.col(name)
+        if direction == "-":
+            after = F.lit(False) if v is None else (col.isNull() | (col < F.lit(v)))
+        else:
+            after = col.isNotNull() if v is None else (col > F.lit(v))
+        pred = pred | (ties & after)
+        eq = col.isNull() if v is None else (col == F.lit(v))
+        ties = ties & eq
+    return pred
+
+
 def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
           datetime_range: str | None = None,
           properties: list[tuple[str, str]] | None = None,
@@ -203,6 +229,7 @@ def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
           select_properties: list[str] | None = None,
           skip_geometry: bool = False,
           after_id: str | None = None,
+          after_values: list | tuple | None = None,
           store_root: str | None = None):
     """The /collections/{id}/items query -> (page DataFrame, number_matched).
 
@@ -227,8 +254,17 @@ def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
     reaches the scan as an ordinary ``id > last`` predicate (rowgroup
     min/max pruning on an id-sorted store) and every page is O(limit)
     regardless of depth — the 100x-scale serving plan.  Mutually exclusive
-    with ``offset`` and custom ``sortby`` (a keyset needs the key it sorts
-    by).
+    with ``offset``.
+
+    after_values: with a custom ``sortby``, the keyset cursor is COMPOSITE
+    (round-3 verdict #4): pass the previous page's last-row values for the
+    sort columns (same order as ``sortby``) alongside ``after_id``, and
+    the page filter becomes the strict tuple predicate on
+    ``(sort_cols..., id)`` — lexicographic "after the cursor" with exact
+    tie-breaks and null blocks honoured (asc = NULLS FIRST, desc = NULLS
+    LAST, Spark's defaults), so deep pagination stays O(limit) on any
+    ordering the reference's provider offers (template_resource.txt:17-34
+    pages any sortby, offset-style).
 
     store_root: when the DataFrame is a manifest-backed store
     (``sources.table``), unfiltered counts (hits / count_matched with no
@@ -249,9 +285,11 @@ def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
         intersects = tm35fin_bbox_polygon(bbox)
         bbox = None
     if after_id is not None:
-        if sortby:
-            raise QueryError("after_id keyset paging uses the default id "
-                             "ordering; sortby is not supported with it")
+        if sortby and (after_values is None or len(after_values) != len(sortby)):
+            raise QueryError(
+                "keyset paging with sortby needs after_values: the previous "
+                f"page's last-row values for {[c for c, _ in sortby]} "
+                "(same order), alongside after_id")
         if offset:
             raise QueryError("after_id and offset are mutually exclusive")
     pred = F.lit(True)
@@ -299,7 +337,12 @@ def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
         if number_matched is None:
             number_matched = filtered.count()
     if after_id is not None:
-        filtered = filtered.filter(F.col(_id_column(df)) > F.lit(after_id))
+        if sortby:
+            keys = [(c, d) for c, d in sortby] + [(_id_column(df), "+")]
+            vals = list(after_values) + [after_id]
+            filtered = filtered.filter(_keyset_after_predicate(keys, vals))
+        else:
+            filtered = filtered.filter(F.col(_id_column(df)) > F.lit(after_id))
     if resulttype == "hits":
         return None, number_matched
     if guard_applies and number_matched > MAX_ITEMS:
