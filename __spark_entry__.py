@@ -605,6 +605,21 @@ def q_token_histogram(spark, sf_dir):
                 .groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def q_token_len_quantiles(spark, sf_dir):
+    """Per-source token-length quantiles (P50/P90/P99) from the MERGEABLE
+    log-bucket quantile sketch (``operators/sketch.quantile_sketch``) —
+    HdrHistogram-style buckets in exact integer arithmetic
+    (length(bin(x)), shifts), so the whole chain — bucketing, cumulative
+    pick, lower-bound inversion — has a bit-exact DuckDB twin.  The
+    100-TB shape for percentile metadata: one map-side-combined hash agg,
+    ≤ ~1.9k counter rows per group, never a global sort."""
+    from laji_pygeoapi_spark.operators import sketch as SK
+    docs = _tbl(spark, sf_dir, "documents")
+    staged = docs.select("source", TX.token_count(F.col("text")).alias("n"))
+    sk = SK.quantile_sketch(staged, "n", group_cols=("source",))
+    return SK.quantile_from_sketch(sk, (50, 90, 99), group_cols=("source",))
+
+
 def q_hourly_rollup(spark, sf_dir):
     """Windowed/etl rollup: events per (hour, type) with value sum."""
     ev = _tbl(spark, sf_dir, "events")
@@ -926,6 +941,8 @@ OVERFLOW_QUERIES = (
     "jaccard_pairs",     # the verify stage inside in-cap minhash_pairs
     "pq_topk",           # PQ chain is oracled end-to-end inside in-cap ivfpq_topk
     "sample_stratified", # deterministic sampling; superset mixture_sample in-cap
+    # round-4+ additions land here too (still fully oracled, pytest-gated):
+    "token_len_quantiles",  # mergeable log-bucket quantile sketch
 )
 
 
@@ -989,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "pq_topk": q_pq_topk,
         "sample_stratified": q_sample_stratified,
+        "token_len_quantiles": q_token_len_quantiles,
     }
 
 
@@ -1916,5 +1934,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_histogram": f"""
             SELECT {ntok} AS n_tokens, count(*) AS cnt FROM documents GROUP BY 1
+        """,
+        # mergeable quantile sketch twin: identical integer bucketing
+        # (length(bin(n)) = floor(log2)+1, shifts), cumulative pick at q%,
+        # lower-bound inversion — bit-exact vs operators/sketch
+        "token_len_quantiles": f"""
+            WITH toks AS (
+              SELECT source, CAST({ntok} AS BIGINT) AS n FROM documents
+            ), bk AS (
+              SELECT source,
+                CASE WHEN n < 32 THEN n
+                     ELSE 32 + (CAST(length(bin(n)) - 6 AS BIGINT) * 32)
+                          + (n >> (length(bin(n)) - 6)) - 32
+                END AS bucket
+              FROM toks
+            ), agg AS (
+              SELECT source, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2
+            ), cum AS (
+              SELECT source, bucket,
+                     sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS c,
+                     sum(cnt) OVER (PARTITION BY source) AS total
+              FROM agg
+            ), qs AS (SELECT * FROM (VALUES (50), (90), (99)) v(q)),
+            pick AS (
+              SELECT source, q, min(bucket) AS bucket
+              FROM cum CROSS JOIN qs
+              WHERE c * 100 >= q * total
+              GROUP BY 1, 2
+            )
+            SELECT source, CAST(q AS INT) AS q,
+              CAST(CASE WHEN bucket < 32 THEN bucket
+                   ELSE (32 + ((bucket - 32) % 32))
+                        * (CAST(1 AS BIGINT) << CAST((bucket - 32) // 32 AS INT))
+              END AS BIGINT) AS est
+            FROM pick
         """,
     }

@@ -278,3 +278,75 @@ def cms_lookup(sketch: DataFrame, keys: DataFrame, key_col: str,
     joined = (probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
                     .select(key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")))
     return joined.groupBy(key_col).agg(F.min("cnt").alias("est"))
+
+
+# --------------------------------------------------------------- quantiles
+
+def quantile_sketch(df: DataFrame, value_col: str, group_cols=(),
+                    b: int = 5) -> DataFrame:
+    """Mergeable quantile sketch over a NON-NEGATIVE integer column:
+    (group, bucket, cnt) counters with HdrHistogram-style log buckets —
+    ≤ (64-b)·2^b rows per group regardless of input size, sum-mergeable
+    (:func:`quantile_merge`), one map-side-combined hash aggregation.
+    The 100-TB shape for "P50/P99 token length per source" metadata:
+    sketch cost, never a global sort.
+
+    Bucketing is EXACT INTEGER arithmetic so Spark and the SQL oracle
+    agree bit-for-bit (float log() flips buckets at powers of two across
+    engines):
+
+    * x < 2^b  -> bucket = x (small values exact);
+    * x >= 2^b -> e = floor(log2 x) = length(bin(x)) - 1,
+                  m = the b bits after the leading 1,
+                  bucket = 2^b + ((e-b) << b | m).
+
+    Buckets are monotone in x, each covering a relative range of 2^-b
+    (b=5 -> ~3 % worst-case relative error)."""
+    base = 1 << b
+    staged = (df.select(*group_cols,
+                        F.col(value_col).cast("long").alias("_qx"))
+                .withColumn("_qe", (F.length(F.bin(F.col("_qx")))
+                                    - F.lit(1)).cast("int")))
+    big = (F.lit(base).cast("long")
+           + F.shiftleft((F.col("_qe") - F.lit(b)).cast("long"), b)
+           + F.expr(f"shiftright(_qx, _qe - {b})") - F.lit(base))
+    staged = staged.withColumn(
+        "bucket", F.when(F.col("_qx") < base, F.col("_qx")).otherwise(big))
+    return (staged.groupBy(*group_cols, "bucket")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def quantile_merge(*sketches: DataFrame, group_cols=()) -> DataFrame:
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (out.groupBy(*group_cols, "bucket")
+               .agg(F.sum("cnt").alias("cnt")))
+
+
+def quantile_from_sketch(sketch: DataFrame, qs=(50, 90, 99), group_cols=(),
+                         b: int = 5) -> DataFrame:
+    """Quantile estimates from the counters, fully distributed: cumulative
+    counts per group (window over the tiny sketch), pick the FIRST bucket
+    whose cumulative count reaches q% of the total, invert the bucket to
+    its LOWER-BOUND value — all integer ops, so the whole chain has an
+    exact SQL twin.  Returns (group..., q, est)."""
+    from pyspark.sql import Window
+    base = 1 << b
+    w = (Window.partitionBy(*group_cols).orderBy("bucket")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy(*group_cols)
+    cum = (sketch.withColumn("_c", F.sum("cnt").over(w))
+                 .withColumn("_total", F.sum("cnt").over(wt)))
+    qdf = sketch.sparkSession.createDataFrame([(int(q),) for q in qs], "q int")
+    hit = cum.join(F.broadcast(qdf),
+                   F.col("_c") * 100 >= F.col("q") * F.col("_total"))
+    picked = (hit.groupBy(*group_cols, "q")
+                 .agg(F.min("bucket").alias("bucket"))
+                 .withColumn("_t", F.col("bucket") - F.lit(base)))
+    # lower bound: (2^b + (t & (2^b - 1))) << (t >> b) — the variable-
+    # amount shift stays an integer SQL expression (no fp pow)
+    est = F.when(F.col("bucket") < base, F.col("bucket")).otherwise(
+        F.expr(f"shiftleft(CAST({base} + (_t % {base}) AS BIGINT), "
+               f"CAST(_t / {base} AS INT))"))
+    return picked.select(*group_cols, "q", est.cast("long").alias("est"))

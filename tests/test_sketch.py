@@ -189,3 +189,40 @@ def test_bloom_probe_is_jobless(spark, tmp_path):
     after = tracker.getJobIdsForGroup(None)
     assert len(words) == 4 and all(0 <= w < 128 for w, _ in words)
     assert before == after, "bloom_words launched a Spark job"
+
+
+def test_quantile_sketch_accuracy_and_merge(spark):
+    """Log-bucket quantile sketch: estimates within the 2^-b relative
+    bound of exact percentiles, and the sketch of a union equals the
+    merged sketches of its parts counter-for-counter (the property that
+    makes it a per-partition/streaming-foldable metadata aggregate)."""
+    import random
+    import pyspark.sql.functions as F
+    from laji_pygeoapi_spark.operators import sketch as SK
+    random.seed(11)
+    vals = [(random.choice("ab"), random.randint(0, 250_000)) for _ in range(30_000)]
+    df = spark.createDataFrame(vals, "g string, v long")
+    sk = SK.quantile_sketch(df, "v", group_cols=("g",))
+    est = {(r["g"], r["q"]): r["est"] for r in
+           SK.quantile_from_sketch(sk, (50, 90, 99), group_cols=("g",)).collect()}
+    by_g = {}
+    for g, v in vals:
+        by_g.setdefault(g, []).append(v)
+    for g, arr in by_g.items():
+        arr.sort()
+        for q in (50, 90, 99):
+            exact = arr[max(0, -(-len(arr) * q // 100) - 1)]
+            assert abs(est[(g, q)] - exact) / max(exact, 1) < 2 ** -5 + 0.01, \
+                (g, q, est[(g, q)], exact)
+    halves = [SK.quantile_sketch(df.filter(F.col("v") % 2 == i), "v", ("g",))
+              for i in (0, 1)]
+    merged = {(r["g"], r["bucket"]): r["cnt"] for r in
+              SK.quantile_merge(*halves, group_cols=("g",)).collect()}
+    whole = {(r["g"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    assert merged == whole
+    # small values (< 2^b) are represented exactly
+    tiny = spark.createDataFrame([(i,) for i in range(32)] * 3, "v long")
+    tsk = SK.quantile_sketch(tiny, "v")
+    te = {r["q"]: r["est"] for r in
+          SK.quantile_from_sketch(tsk, (50, 99)).collect()}
+    assert te[50] == 15 and te[99] == 31
