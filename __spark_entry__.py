@@ -185,6 +185,22 @@ def q_knn_distributed(spark, sf_dir):
     return out.select("query_id", F.col("pid").alias("doc_id"), "rank")
 
 
+def q_knn_join(spark, sf_dir):
+    """Distributed kNN JOIN (spatial.knn_table_join): every 10th point ->
+    its 3 nearest other points, cell-ring candidate join + exact haversine
+    rank + distributed completeness check with an exact broadcast fallback
+    for sparse-region lefts — no driver-side query list, no collect.
+    Oracle: the full cross-join window rank in DuckDB."""
+    pts = _points(spark, sf_dir).select("doc_id", "lon", "lat")
+    lefts = (pts.filter(F.col("doc_id") % 10 == 0)
+                .withColumnRenamed("doc_id", "query_id"))
+    out = SP.knn_table_join(lefts, pts.withColumnRenamed("doc_id", "pid"),
+                            k=3, res=5, ring=1,
+                            left_id="query_id", right_id="pid",
+                            exclude_self=True)
+    return out.select("query_id", F.col("pid").alias("doc_id"), "rank")
+
+
 TRIANGLE = ((21.0, 59.6), (29.0, 59.6), (25.0, 63.5))
 
 
@@ -943,6 +959,7 @@ OVERFLOW_QUERIES = (
     "sample_stratified", # deterministic sampling; superset mixture_sample in-cap
     # round-4+ additions land here too (still fully oracled, pytest-gated):
     "token_len_quantiles",  # mergeable log-bucket quantile sketch
+    "knn_join",             # all-pairs kNN join (no driver query list)
 )
 
 
@@ -1007,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "sample_stratified": q_sample_stratified,
         "token_len_quantiles": q_token_len_quantiles,
+        "knn_join": q_knn_join,
     }
 
 
@@ -1646,6 +1664,19 @@ def oracle_sql() -> dict[str, str]:
               FROM q CROSS JOIN pts p
             )
             SELECT query_id, doc_id, rank FROM d WHERE rank <= 5
+        """,
+        "knn_join": f"""
+            WITH {_PTS_CTE},
+            q AS (SELECT doc_id AS query_id, lon, lat FROM pts
+                  WHERE doc_id % 10 = 0),
+            d AS (
+              SELECT q.query_id, p.doc_id,
+                     row_number() OVER (PARTITION BY q.query_id
+                                        ORDER BY {hav} ASC, p.doc_id ASC) AS rank
+              FROM q CROSS JOIN pts p
+              WHERE p.doc_id <> q.query_id
+            )
+            SELECT query_id, doc_id, rank FROM d WHERE rank <= 3
         """,
         "hex_cells": f"""
             WITH {_PTS_CTE},

@@ -43,6 +43,17 @@ def hex_cell_udf(res: int):
     return _f
 
 
+def hex_kring_udf(res: int, ring: int):
+    """Vectorized k-ring cover: (lon, lat) -> array of the point's hex cell
+    plus its ring-``ring`` neighbors (the join key set for kNN joins)."""
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _f(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        cells = C.hex_cell(lon.to_numpy(np.float64), lat.to_numpy(np.float64), res)
+        mat = C.hex_kring(cells, ring)
+        return pd.Series([row.tolist() for row in mat])
+    return _f
+
+
 def s2_cell_udf(level: int):
     @pandas_udf(T.LongType())
     def _f(lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -456,6 +467,81 @@ def knn_bruteforce_distributed(spark: SparkSession, points: DataFrame,
     w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col(point_id).asc())
     return (cand.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k))
+
+
+def knn_table_join(left: DataFrame, right: DataFrame, k: int = 3,
+                   res: int = DEFAULT_HEX_RES, ring: int = 1,
+                   lon: str = "lon", lat: str = "lat",
+                   left_id: str = "query_id", right_id: str = "point_id",
+                   exclude_self: bool = False) -> DataFrame:
+    """Distributed kNN JOIN: every LEFT row gets its ``k`` nearest RIGHT
+    rows — both sides DataFrames, no driver-side query list (the missing
+    third kNN form next to the broadcast k-ring loop and the
+    brute-force-distributed scan).
+
+    Plan (all DataFrame ops, exact result):
+
+    1. rights carry their res-``res`` hex cell;
+    2. lefts explode their ring-``ring`` k-ring cell cover -> equi-join on
+       the cell (shuffle keyed by cell — candidates only, never all
+       pairs; dense-cell skew is AQE's skew-join case);
+    3. per-left exact-haversine rank (window keyed by the left id);
+    4. distributed completeness: a left is DONE iff it has >= k candidates
+       AND its k-th distance lies within the ring's guaranteed coverage
+       (same conservative 0.25 factor as :func:`knn_join`); the remainder
+       — sparse-region lefts, typically a vanishing fraction — falls back
+       to an exact broadcast-nested-loop rank against the full right side.
+       Both branches are lazy plans unioned together: no driver loop, no
+       collect anywhere.
+
+    The candidate frame is persisted (it feeds the done branch, the
+    completeness anti-join, and nothing else); the handle is registered on
+    the result as ``_cached_deps`` for deterministic release.  Returns
+    (left_id, right_id, dist_m, rank) with rank 1..k.
+    """
+    r = (right.select(F.col(right_id),
+                      F.col(lon).alias("_rlon"), F.col(lat).alias("_rlat"))
+              .withColumn("_cell", hex_cell_udf(res)(F.col("_rlon"),
+                                                     F.col("_rlat"))))
+    lf = left.select(F.col(left_id),
+                     F.col(lon).alias("_qlon"), F.col(lat).alias("_qlat"))
+    lx = (lf.withColumn("_cells", hex_kring_udf(res, ring)(F.col("_qlon"),
+                                                           F.col("_qlat")))
+            .select(left_id, "_qlon", "_qlat",
+                    F.explode("_cells").alias("_cell")))
+    cand = lx.join(r, "_cell")
+    if exclude_self:
+        cand = cand.filter(F.col(left_id) != F.col(right_id))
+    cand = cand.withColumn("dist_m",
+                           haversine_expr("_qlon", "_qlat", "_rlon", "_rlat"))
+    w = Window.partitionBy(left_id).orderBy(F.col("dist_m").asc(),
+                                            F.col(right_id).asc())
+    wp = Window.partitionBy(left_id)
+    ranked = (cand.withColumn("rank", F.row_number().over(w))
+                  .withColumn("_cnt", F.count(F.lit(1)).over(wp)))
+    ranked = ranked.withColumn(
+        "_kth", F.max(F.when(F.col("rank") <= k, F.col("dist_m"))).over(wp))
+    # k-ring guarantees ~inradius coverage; 0.25 is the conservative
+    # global deg->m factor for this data domain (see knn_join)
+    safe_m = float(C._hex_size(res)) * ring * 111_000 * 0.25
+    ranked = ranked.persist()
+    complete = (F.col("_cnt") >= k) & (F.col("_kth") <= F.lit(safe_m))
+    done = (ranked.filter(complete & (F.col("rank") <= k))
+                  .select(left_id, right_id, "dist_m", "rank"))
+    done_lefts = (ranked.filter(complete).select(left_id).distinct())
+    rest = lf.join(done_lefts, left_id, "left_anti")
+    fb = F.broadcast(rest).crossJoin(right.select(
+        F.col(right_id), F.col(lon).alias("_rlon"), F.col(lat).alias("_rlat")))
+    if exclude_self:
+        fb = fb.filter(F.col(left_id) != F.col(right_id))
+    fb = fb.withColumn("dist_m",
+                       haversine_expr("_qlon", "_qlat", "_rlon", "_rlat"))
+    fb_ranked = (fb.withColumn("rank", F.row_number().over(w))
+                   .filter(F.col("rank") <= k)
+                   .select(left_id, right_id, "dist_m", "rank"))
+    out = done.unionByName(fb_ranked)
+    out._cached_deps = [ranked]
+    return out
 
 
 def haversine_expr(lon1: str, lat1: str, lon2: str, lat2: str):

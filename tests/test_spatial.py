@@ -264,3 +264,42 @@ def test_dissolve_grid_cells(spark):
     assert (min(xs), min(ys), max(xs), max(ys)) == (0.0, 0.0, 2.0, 2.0)
     ap = out["apart"]
     assert ap["n_parts"] == 2 and abs(ap["area"] - 2.0) < 1e-9
+
+
+def test_knn_table_join_exact_both_branches(spark):
+    """knn_table_join (distributed kNN join, no driver query list) returns
+    the EXACT k nearest for every left: dense-cluster lefts complete via
+    the ring-candidate branch; isolated lefts (no ring neighbors) must go
+    through the broadcast fallback and still be exact."""
+    import numpy as np
+    from laji_pygeoapi_spark.kernels import cells as C
+    from laji_pygeoapi_spark.operators import spatial as SP
+    rng = np.random.RandomState(3)
+    dense = [(int(i), float(24.9 + rng.uniform(-0.05, 0.05)),
+              float(60.2 + rng.uniform(-0.05, 0.05))) for i in range(200)]
+    sparse = [(1000, 28.5, 68.5), (1001, 20.5, 69.5)]
+    all_pts = dense + sparse
+    pts = spark.createDataFrame(all_pts, "pid long, lon double, lat double")
+    lefts = (pts.selectExpr("pid as query_id", "lon", "lat")
+                .filter("query_id % 7 = 0 or query_id >= 1000"))
+    out = SP.knn_table_join(lefts, pts, k=4, res=6, ring=1,
+                            right_id="pid", exclude_self=True)
+    rows = out.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["pid"]))
+    ids = np.array([p[0] for p in all_pts])
+    lons = np.array([p[1] for p in all_pts])
+    lats = np.array([p[2] for p in all_pts])
+    n_checked = 0
+    for qid, qlon, qlat in all_pts:
+        if not (qid % 7 == 0 or qid >= 1000):
+            continue
+        d = C.haversine_m(qlon, qlat, lons, lats)
+        order = sorted((float(d[j]), int(ids[j])) for j in range(len(ids))
+                       if ids[j] != qid)
+        expect = [pid for _dist, pid in order[:4]]
+        mine = [pid for _rank, pid in sorted(got[qid])]
+        assert mine == expect, (qid, mine, expect)
+        n_checked += 1
+    assert n_checked == len(got)
