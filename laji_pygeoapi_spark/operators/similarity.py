@@ -231,6 +231,26 @@ def write_ivf_store(df: DataFrame, codebook: DataFrame, root: str,
              .write.mode("overwrite").partitionBy("ivf_list").parquet(root))
 
 
+def ivf_append(df: DataFrame, codebook: DataFrame, root: str,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               round_dp: int = 4) -> None:
+    """INCREMENTAL index maintenance: assign only the NEW batch to the
+    existing centroids and append it to the posting-list partitions —
+    O(batch) work, the stored lists are never rewritten.  Queries prune
+    and rank identically afterwards: the store equals one built from the
+    union under the same codebook (pytest-gated).
+
+    This is the nightly-delta path at 10^12 vectors: the codebook drifts
+    slowly and retrains offline (a full :func:`write_ivf_store` rebuild);
+    between retrains, appends keep the index serving fresh vectors at
+    delta cost.  Works for the IVF+PQ store too via
+    :func:`ivfpq_append` (residual codes reuse the persisted books)."""
+    assigned = ivf_assign(df, codebook, vec_col=vec_col, id_col=id_col,
+                          round_dp=round_dp)
+    (assigned.repartition("ivf_list")
+             .write.mode("append").partitionBy("ivf_list").parquet(root))
+
+
 def ivf_topk_stored(spark, root: str, codebook: DataFrame, query_vec,
                     k: int = 10, nprobe: int = 4,
                     vec_col: str = "embedding", id_col: str = "vec_id",
@@ -412,6 +432,30 @@ def write_ivfpq_store(df: DataFrame, codebook: DataFrame, root: str,
 def load_ivfpq_books(root: str) -> np.ndarray:
     import os
     return np.load(os.path.join(root, "_books.npy"))
+
+
+def ivfpq_append(df: DataFrame, codebook: DataFrame, root: str,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 round_dp: int = 4) -> None:
+    """Incremental append for the IVF+PQ store: coarse-assign the new
+    batch, residual-encode it against the PERSISTED books (no retraining
+    — the quantizer must stay fixed or old codes become unreadable), and
+    append the byte codes to the posting-list partitions.  O(batch) work;
+    queries are indistinguishable from a store built from the union with
+    the same codebook + books (pytest-gated)."""
+    books = load_ivfpq_books(root)
+    m_blocks = books.shape[0]
+    assigned = ivf_assign(df, codebook, vec_col=vec_col, id_col=id_col,
+                          round_dp=round_dp)
+    resid = (assigned.join(F.broadcast(codebook),
+                           assigned["ivf_list"] == codebook["cid"])
+             .withColumn("_resid", F.zip_with(F.col(vec_col), F.col("cvec"),
+                                              lambda x, c: x - c)))
+    codes = pq_encode(resid, books, vec_col="_resid", id_col=id_col)
+    out = (assigned.select(id_col, "ivf_list")
+           .join(codes, id_col))
+    (out.repartition("ivf_list")
+        .write.mode("append").partitionBy("ivf_list").parquet(root))
 
 
 def ivfpq_topk_stored(spark, root: str, codebook: DataFrame,

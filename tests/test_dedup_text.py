@@ -503,3 +503,45 @@ def test_connected_components_pointer_jumping_rounds(spark):
     out = connected_components(chain, max_iter=10)
     assert {r["comp"] for r in out.collect()} == {0}
     assert out._cc_rounds <= 9, out._cc_rounds
+
+
+def test_ivf_and_ivfpq_incremental_append(spark, tmp_path):
+    """Incremental index maintenance: appending a delta batch to a
+    persisted IVF (and IVF+PQ) store yields query results identical to a
+    store rebuilt from the union under the same codebook/books — the
+    nightly-delta path that never rewrites existing posting lists."""
+    rng = np.random.RandomState(17)
+    centers = rng.standard_normal((4, 16)) * 3
+    vecs = np.vstack([centers[i % 4] + rng.standard_normal(16) * 0.3
+                      for i in range(300)])
+    pdf = pd.DataFrame({"vec_id": range(300),
+                        "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    codebook = spark.createDataFrame(pd.DataFrame({
+        "cid": range(4), "cvec": [centers[i].tolist() for i in range(4)]}))
+    old = df.filter(F.col("vec_id") < 200)
+    new = df.filter(F.col("vec_id") >= 200)
+    q = vecs[7].tolist()
+    # --- plain IVF
+    inc_root = str(tmp_path / "ivf_inc")
+    full_root = str(tmp_path / "ivf_full")
+    SIM.write_ivf_store(old, codebook, inc_root)
+    SIM.ivf_append(new, codebook, inc_root)
+    SIM.write_ivf_store(df, codebook, full_root)
+    got = [r["vec_id"] for r in
+           SIM.ivf_topk_stored(spark, inc_root, codebook, q, k=10, nprobe=2).collect()]
+    want = [r["vec_id"] for r in
+            SIM.ivf_topk_stored(spark, full_root, codebook, q, k=10, nprobe=2).collect()]
+    assert got == want and len(got) == 10
+    # --- IVF+PQ (books trained on the OLD batch, reused by the append)
+    pq_inc = str(tmp_path / "ivfpq_inc")
+    pq_full = str(tmp_path / "ivfpq_full")
+    books = SIM.write_ivfpq_store(old, codebook, pq_inc, m_blocks=4, n_codes=8)
+    SIM.ivfpq_append(new, codebook, pq_inc)
+    SIM.write_ivfpq_store(df, codebook, pq_full, m_blocks=4, n_codes=8,
+                          books=books)
+    got = [r["vec_id"] for r in
+           SIM.ivfpq_topk_stored(spark, pq_inc, codebook, q, k=10, nprobe=2).collect()]
+    want = [r["vec_id"] for r in
+            SIM.ivfpq_topk_stored(spark, pq_full, codebook, q, k=10, nprobe=2).collect()]
+    assert got == want and len(got) == 10
