@@ -350,3 +350,77 @@ def quantile_from_sketch(sketch: DataFrame, qs=(50, 90, 99), group_cols=(),
         F.expr(f"shiftleft(CAST({base} + (_t % {base}) AS BIGINT), "
                f"CAST(_t / {base} AS INT))"))
     return picked.select(*group_cols, "q", est.cast("long").alias("est"))
+
+
+def update_quantile_store(spark, batch_df: DataFrame, root: str,
+                          value_col: str, group_cols=(), b: int = 5,
+                          batch_id=None) -> None:
+    """Fold one batch into a persisted quantile-sketch store.
+
+    Unlike the HLL registers (max-merge, naturally idempotent), quantile
+    counters SUM — a replayed batch would double-count.  Exactly-once
+    therefore comes from layout: each batch's sketch lands in its own
+    ``delta-<batch_id>`` directory with mode=overwrite, so a foreachBatch
+    replay rewrites the same delta instead of adding a second one.
+    Readers merge all deltas (:func:`read_quantile_store`) — counters are
+    associative, so merge order is irrelevant; ``compact_quantile_store``
+    folds deltas into one when the directory count grows."""
+    import os
+    sk = quantile_sketch(batch_df, value_col, group_cols, b)
+    name = f"delta-{batch_id}" if batch_id is not None else "delta-0"
+    sk.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, name))
+
+
+def read_quantile_store(spark, root: str, qs=(50, 90, 99), group_cols=(),
+                        b: int = 5) -> DataFrame:
+    """Quantile estimates over the merged delta sketches — metadata-sized
+    read however many batches have been folded.  Deltas listed in a
+    compacted delta's ``_superseded.json`` are skipped, so a crash between
+    compaction's install and its cleanup can never double-count."""
+    merged = quantile_merge(*[spark.read.parquet(p)
+                              for p in _live_quantile_deltas(root)],
+                            group_cols=group_cols)
+    return quantile_from_sketch(merged, qs, group_cols, b)
+
+
+def _live_quantile_deltas(root: str) -> list[str]:
+    import json
+    import os
+    deltas = {d for d in os.listdir(root) if d.startswith("delta-")}
+    superseded: set[str] = set()
+    for d in deltas:
+        marker = os.path.join(root, d, "_superseded.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                superseded.update(json.load(f))
+    return [os.path.join(root, d) for d in sorted(deltas - superseded)]
+
+
+def compact_quantile_store(spark, root: str, group_cols=()) -> None:
+    """Fold the live delta directories into one.  Crash-safe by
+    supersession marker, not by ordering hope: the compacted delta is
+    fully written (with ``_superseded.json`` naming its inputs) and
+    renamed into place FIRST — from that instant readers ignore the
+    inputs — and only then are the superseded directories deleted.  A
+    crash at any point leaves either the old deltas alone or the
+    compacted delta plus ignorable leftovers; counters are never lost or
+    double-merged."""
+    import hashlib
+    import json
+    import os
+    import shutil
+    live = _live_quantile_deltas(root)
+    if len(live) <= 1:
+        return
+    names = [os.path.basename(p) for p in live]
+    merged = quantile_merge(*[spark.read.parquet(p) for p in live],
+                            group_cols=group_cols)
+    tag = hashlib.sha1(",".join(names).encode()).hexdigest()[:10]
+    tmp = os.path.join(root, "_compact.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_superseded.json"), "w") as f:
+        json.dump(names, f)
+    os.replace(tmp, os.path.join(root, f"delta-compact-{tag}"))
+    for name in names:
+        shutil.rmtree(os.path.join(root, name), ignore_errors=True)

@@ -226,3 +226,74 @@ def test_quantile_sketch_accuracy_and_merge(spark):
     te = {r["q"]: r["est"] for r in
           SK.quantile_from_sketch(tsk, (50, 99)).collect()}
     assert te[50] == 15 and te[99] == 31
+
+
+def test_quantile_store_streaming_fold_exactly_once(spark, tmp_path):
+    """Per-batch delta layout: a replayed batch OVERWRITES its own delta
+    (no double count), the folded store equals the one-shot sketch, and
+    compaction is crash-safe via supersession markers."""
+    import pyspark.sql.functions as F
+    from laji_pygeoapi_spark.operators import sketch as SK
+    root = str(tmp_path / "qstore")
+    df = spark.range(5000).select((F.col("id") * 7919 % 100_000).alias("v"))
+    a = df.filter(F.col("v") % 2 == 0)
+    b = df.filter(F.col("v") % 2 == 1)
+    SK.update_quantile_store(spark, a, root, "v", batch_id=0)
+    SK.update_quantile_store(spark, b, root, "v", batch_id=1)
+    SK.update_quantile_store(spark, b, root, "v", batch_id=1)  # replay
+    whole = {r["q"]: r["est"] for r in
+             SK.quantile_from_sketch(SK.quantile_sketch(df, "v"),
+                                     (50, 90, 99)).collect()}
+    folded = {r["q"]: r["est"] for r in
+              SK.read_quantile_store(spark, root).collect()}
+    assert folded == whole
+    SK.compact_quantile_store(spark, root)
+    assert {r["q"]: r["est"] for r in
+            SK.read_quantile_store(spark, root).collect()} == whole
+    # simulate the compaction crash window: superseded deltas NOT yet
+    # deleted -> readers must still not double-count
+    SK.update_quantile_store(spark, a, root, "v", batch_id=2)
+    import json, os
+    comp = next(d for d in os.listdir(root) if d.startswith("delta-compact-"))
+    stale = json.load(open(os.path.join(root, comp, "_superseded.json")))
+    os.makedirs(os.path.join(root, stale[0]), exist_ok=True)  # leftovers reappear
+    sub = spark.createDataFrame([(0, 1)], "bucket long, cnt long")
+    sub.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, stale[0]))
+    got = {r["q"]: r["est"] for r in
+           SK.read_quantile_store(spark, root).collect()}
+    merged_truth = {r["q"]: r["est"] for r in
+                    SK.quantile_from_sketch(
+                        SK.quantile_merge(SK.quantile_sketch(df, "v"),
+                                          SK.quantile_sketch(a, "v")),
+                        (50, 90, 99)).collect()}
+    assert got == merged_truth
+
+
+def test_quantile_bucket_power_of_two_boundaries(spark):
+    """Property: bucketing is exact-integer monotone including every 2^k
+    boundary (the values where float log2 disagrees across engines)."""
+    import pyspark.sql.functions as F
+    from laji_pygeoapi_spark.operators import sketch as SK
+    vals = sorted({0, 1, 31, 32, 33, 63, 64, 65} |
+                  {2 ** k + d for k in range(5, 62) for d in (-1, 0, 1)})
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = (SK.quantile_sketch(df, "v", b=5)
+            .select("bucket").distinct().count())
+    # buckets must be monotone in v: recompute per-value buckets and check
+    per = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = SK.quantile_sketch(per.withColumn("g", F.col("v")), "v",
+                            group_cols=("g",), b=5)
+    got = {r["g"]: r["bucket"] for r in sk.collect()}
+    buckets = [got[v] for v in vals]
+    assert buckets == sorted(buckets)
+    # small values exact; lower-bound inversion never exceeds the value
+    base = 32
+    for v in vals:
+        bk = got[v]
+        if v < base:
+            assert bk == v
+        else:
+            t = bk - base
+            lower = (base + (t % base)) << (t // base)
+            upper = lower + (1 << (t // base))
+            assert lower <= v < upper, (v, bk, lower, upper)
