@@ -194,8 +194,11 @@ def q_knn_join(spark, sf_dir):
     pts = _points(spark, sf_dir).select("doc_id", "lon", "lat")
     lefts = (pts.filter(F.col("doc_id") % 10 == 0)
                 .withColumnRenamed("doc_id", "query_id"))
+    # res 2: at this data density the ring-1 cover completes every left
+    # (profiled: res 5 pushed ~all lefts through the exact fallback — the
+    # result is identical either way, the ring path is just the fast one)
     out = SP.knn_table_join(lefts, pts.withColumnRenamed("doc_id", "pid"),
-                            k=3, res=5, ring=1,
+                            k=3, res=2, ring=1,
                             left_id="query_id", right_id="pid",
                             exclude_self=True)
     return out.select("query_id", F.col("pid").alias("doc_id"), "rank")

@@ -36,7 +36,7 @@ HEADLINE = [
     "bbox_count_manifest", "decontamination", "pack_sequences",
     "dedup_clusters", "dwithin", "density_grid", "pq_topk",
     "asof_join", "range_join", "ivfpq_topk", "curation",
-    "multimodal_curation",
+    "multimodal_curation", "token_len_quantiles", "knn_join",
 ]
 
 
