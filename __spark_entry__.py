@@ -624,6 +624,28 @@ def q_token_histogram(spark, sf_dir):
                 .groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def q_domain_stats(spark, sf_dir):
+    """URL/domain frequency table (operators/text.domain_stats) — the
+    web-corpus blocklist pass: extract every URL, reduce to lowercase
+    host, count docs + mentions per domain.  URLs are synthesized
+    deterministically onto the corpus (same convention as redact_pii);
+    the DuckDB twin runs the identical regex chain (Java ∩ RE2
+    semantics)."""
+    from laji_pygeoapi_spark.operators import text as TXO
+    docs = _tbl(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(F.lit(" see https://site"),
+                                      (did % 20).cast("string"),
+                                      F.lit(".example.org/page/"),
+                                      did.cast("string"))).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.concat(F.lit(" https://CDN"),
+                                      (did % 7).cast("string"),
+                                      F.lit(".Example.net"))).otherwise(F.lit("")))
+    return TXO.domain_stats(docs.withColumn("text", t))
+
+
 def q_token_len_quantiles(spark, sf_dir):
     """Per-source token-length quantiles (P50/P90/P99) from the MERGEABLE
     log-bucket quantile sketch (``operators/sketch.quantile_sketch``) —
@@ -963,6 +985,7 @@ OVERFLOW_QUERIES = (
     # round-4+ additions land here too (still fully oracled, pytest-gated):
     "token_len_quantiles",  # mergeable log-bucket quantile sketch
     "knn_join",             # all-pairs kNN join (no driver query list)
+    "domain_stats",         # URL/domain blocklist frequency pass
 )
 
 
@@ -1028,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "token_len_quantiles": q_token_len_quantiles,
         "knn_join": q_knn_join,
+        "domain_stats": q_domain_stats,
     }
 
 
@@ -1667,6 +1691,31 @@ def oracle_sql() -> dict[str, str]:
               FROM q CROSS JOIN pts p
             )
             SELECT query_id, doc_id, rank FROM d WHERE rank <= 5
+        """,
+        "domain_stats": """
+            WITH aug AS (
+              SELECT doc_id,
+                text ||
+                CASE WHEN doc_id % 3 = 0 THEN ' see https://site'
+                     || CAST(doc_id % 20 AS VARCHAR) || '.example.org/page/'
+                     || CAST(doc_id AS VARCHAR) ELSE '' END ||
+                CASE WHEN doc_id % 4 = 0 THEN ' https://CDN'
+                     || CAST(doc_id % 7 AS VARCHAR) || '.Example.net'
+                     ELSE '' END AS text
+              FROM documents
+            ), urls AS (
+              SELECT doc_id,
+                unnest(regexp_extract_all(text,
+                  'https?://[A-Za-z0-9.-]+(?:/[^\\s"'']*)?')) AS url
+              FROM aug
+            ), hosts AS (
+              SELECT doc_id,
+                lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+              FROM urls
+            )
+            SELECT domain, count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_mentions
+            FROM hosts WHERE domain <> '' GROUP BY 1
         """,
         "knn_join": f"""
             WITH {_PTS_CTE},

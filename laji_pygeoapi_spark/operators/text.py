@@ -187,6 +187,47 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumnRenamed("_red", "text_redacted")
 
 
+# URL syntax restricted to Java-regex ∩ RE2 semantics (same contract as
+# PII_PATTERNS): character classes only, no lookaround
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[^\s\"']*)?"
+HOST_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_domains(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """URL/domain extraction (the web-corpus blocklist pass): every URL in
+    every document, reduced to its lowercase host — exploded (id, domain)
+    rows.  Pure JVM ``regexp_extract_all`` projection + explode; the
+    per-domain reduction downstream is one map-side-combined agg."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+    ex = df.select(id_col, F.explode(urls).alias("_url"))
+    host = F.lower(F.regexp_extract(F.col("_url"), HOST_PATTERN, 1))
+    return ex.select(id_col, host.alias("domain")).filter(F.col("domain") != "")
+
+
+def domain_stats(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-domain corpus statistics: documents containing the domain and
+    total mentions — the frequency table a blocklist curator reads."""
+    d = extract_domains(df, text_col, id_col)
+    return (d.groupBy("domain")
+             .agg(F.countDistinct(id_col).alias("n_docs"),
+                  F.count(F.lit(1)).alias("n_mentions")))
+
+
+def drop_blocklisted(df: DataFrame, blocklist: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     domain_col: str = "domain") -> DataFrame:
+    """Drop every document that mentions a blocklisted domain: extract
+    domains, broadcast-semi-join the blocklist, anti-join the hits back —
+    one corpus pass, the blocklist never rescans anything."""
+    hits = (extract_domains(df, text_col, id_col)
+            .join(F.broadcast(blocklist.select(F.col(domain_col).alias("domain"))),
+                  "domain")
+            .select(id_col).distinct())
+    return df.join(hits, id_col, "left_anti")
+
+
 def gopher_line_signals(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
     """Per-document repetition signals, line part (Gopher/Dolma repetition

@@ -545,3 +545,25 @@ def test_ivf_and_ivfpq_incremental_append(spark, tmp_path):
     want = [r["vec_id"] for r in
             SIM.ivfpq_topk_stored(spark, pq_full, codebook, q, k=10, nprobe=2).collect()]
     assert got == want and len(got) == 10
+
+
+def test_domain_extraction_and_blocklist_drop(spark):
+    """URL/domain curation pass: extraction finds every host lowercased,
+    stats count docs vs mentions distinctly, and the blocklist drop
+    removes exactly the docs mentioning a listed domain."""
+    from laji_pygeoapi_spark.operators import text as TXO
+    rows = [
+        (1, "see https://Bad.example.com/x and https://ok.org/y"),
+        (2, "nothing here"),
+        (3, "https://ok.org twice https://ok.org/page"),
+        (4, "edge https://bad.example.com"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r["domain"]: (r["n_docs"], r["n_mentions"])
+             for r in TXO.domain_stats(df).collect()}
+    assert stats["bad.example.com"] == (2, 2)
+    assert stats["ok.org"] == (2, 3)
+    bl = spark.createDataFrame([("bad.example.com",)], "domain string")
+    kept = sorted(r["doc_id"] for r in
+                  TXO.drop_blocklisted(df, bl).collect())
+    assert kept == [2, 3]

@@ -139,9 +139,12 @@ if not os.path.exists(os.path.join(src, "_SUCCESS")):
 spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
 docs = spark.read.parquet(src)
 n = docs.count()
-from laji_pygeoapi_spark.plans.curation import curate
+from laji_pygeoapi_spark.plans.curation import curate, release_caches
 def run_once():
-    curate(docs).write.format("noop").mode("overwrite").save()
+    out = curate(docs)
+    out.write.format("noop").mode("overwrite").save()
+    release_caches(out)  # persisted survivor projection must not pile up
+                         # across repetitions (OOMed the 1M-row leg)
 curate(docs.limit(2000)).write.format("noop").mode("overwrite").save()  # warm
 best = None
 for _ in range(3):
