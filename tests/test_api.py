@@ -463,3 +463,43 @@ def test_composite_keyset_paging_with_sortby(spark, occ):
     with pytest.raises(API.QueryError, match="after_values"):
         API.items(occ, limit=10, after_id="x", after_values=[],
                   sortby=[("Kunta", "+")])
+
+
+def test_composite_keyset_property_random_orderings(spark):
+    """Randomized equivalence: for random data with NULL-heavy sort
+    columns and random sortby specs (1-2 columns, mixed directions),
+    walking pages via the composite keyset cursor reproduces the offset
+    walk exactly — including null blocks and duplicate keys."""
+    import random
+    random.seed(23)
+    rows = []
+    for i in range(300):
+        a = random.choice([None, "x", "y", "z"])
+        b = random.choice([None, 1, 2, 3, 4])
+        rows.append((f"id{i:04d}", a, b, random.random()))
+    df = spark.createDataFrame(rows, "Paikallinen_tunniste string, ca string, cb int, cc double")
+    for trial in range(6):
+        n_cols = random.choice([1, 2])
+        cols = random.sample(["ca", "cb"], n_cols)
+        sortby = [(c, random.choice(["+", "-"])) for c in cols]
+        via_offset, off = [], 0
+        while True:
+            page, _ = API.items(df, limit=49, offset=off, sortby=sortby,
+                                skip_guard=True)
+            got = page.select("Paikallinen_tunniste", *cols).collect()
+            if not got:
+                break
+            via_offset.extend(r[0] for r in got)
+            off += 49
+        via_keyset, cur_id, cur_vals = [], None, None
+        while len(via_keyset) < len(via_offset):
+            kw = {} if cur_id is None else {
+                "after_id": cur_id, "after_values": cur_vals}
+            page, _ = API.items(df, limit=49, sortby=sortby, **kw)
+            got = page.select("Paikallinen_tunniste", *cols).collect()
+            if not got:
+                break
+            via_keyset.extend(r[0] for r in got)
+            cur_id = got[-1][0]
+            cur_vals = [got[-1][c] for c in cols]
+        assert via_keyset == via_offset, (trial, sortby)
