@@ -191,7 +191,9 @@ def q_knn_join(spark, sf_dir):
     rank + distributed completeness check with an exact broadcast fallback
     for sparse-region lefts — no driver-side query list, no collect.
     Oracle: the full cross-join window rank in DuckDB."""
-    pts = _points(spark, sf_dir).select("doc_id", "lon", "lat")
+    # one persisted point projection feeds lefts, the candidate side and
+    # the fallback side (4 scans -> 1)
+    pts = _points(spark, sf_dir).select("doc_id", "lon", "lat").persist()
     lefts = (pts.filter(F.col("doc_id") % 10 == 0)
                 .withColumnRenamed("doc_id", "query_id"))
     # res 2: at this data density the ring-1 cover completes every left
@@ -201,7 +203,9 @@ def q_knn_join(spark, sf_dir):
                             k=3, res=2, ring=1,
                             left_id="query_id", right_id="pid",
                             exclude_self=True)
-    return out.select("query_id", F.col("pid").alias("doc_id"), "rank")
+    res = out.select("query_id", F.col("pid").alias("doc_id"), "rank")
+    res._cached_deps = getattr(out, "_cached_deps", []) + [pts]
+    return res
 
 
 TRIANGLE = ((21.0, 59.6), (29.0, 59.6), (25.0, 63.5))
