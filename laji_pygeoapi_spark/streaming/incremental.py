@@ -92,6 +92,35 @@ def stream_dedup(events: DataFrame, key_cols=("event_id",),
     return src.dropDuplicates(list(key_cols))
 
 
+def stream_quantiles(spark: SparkSession, source_dir: str, store_root: str,
+                     value_col: str, group_cols=(), b: int = 5,
+                     schema=None, checkpoint_dir: str | None = None) -> None:
+    """Streaming quantile maintenance: each micro-batch's log-bucket
+    counters land in the batch's OWN delta directory
+    (``sketch.update_quantile_store``), so a foreachBatch replay
+    overwrites rather than double-counts — the exactly-once form the
+    sum-merged counters need (HLL's max-merge is idempotent by itself;
+    sums are not).  Readers merge live deltas at metadata cost
+    (``read_quantile_store``); ``compact_quantile_store`` bounds the
+    delta count with supersession-marker crash safety."""
+    from ..operators import sketch as SK
+    checkpoint_dir = checkpoint_dir or store_root + "_checkpoint"
+    stream = (spark.readStream.schema(schema or IMAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 64)
+              .parquet(source_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        SK.update_quantile_store(spark, batch_df, store_root, value_col,
+                                 group_cols=group_cols, b=b,
+                                 batch_id=batch_id)
+
+    (stream.writeStream.foreachBatch(process_batch)
+           .option("checkpointLocation", checkpoint_dir)
+           .trigger(availableNow=True)
+           .start()
+           .awaitTermination())
+
+
 def stream_sketch(spark: SparkSession, source_dir: str, sketch_root: str,
                   key_col: str, group_cols=(), p: int = 8,
                   schema=None, checkpoint_dir: str | None = None) -> None:

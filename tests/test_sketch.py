@@ -297,3 +297,32 @@ def test_quantile_bucket_power_of_two_boundaries(spark):
             lower = (base + (t % base)) << (t // base)
             upper = lower + (1 << (t // base))
             assert lower <= v < upper, (v, bk, lower, upper)
+
+
+def test_stream_quantiles_matches_batch(spark, tmp_path):
+    """availableNow streaming quantile fold: store estimates after the
+    stream equal the one-shot batch sketch of the whole source, and a
+    re-run (file-source checkpoint + per-batch delta overwrite) changes
+    nothing."""
+    import pyspark.sql.functions as F
+    from laji_pygeoapi_spark.operators import sketch as SK
+    from laji_pygeoapi_spark.streaming.incremental import stream_quantiles
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "qstore")
+    df = spark.range(4000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 6151 % 50_000).alias("v"))
+    df.coalesce(2).write.mode("overwrite").parquet(src)
+    sch = "g string, v long"
+    stream_quantiles(spark, src, root, "v", group_cols=("g",), schema=sch)
+    want = {(r["g"], r["q"]): r["est"] for r in
+            SK.quantile_from_sketch(
+                SK.quantile_sketch(spark.read.parquet(src), "v", ("g",)),
+                (50, 90, 99), ("g",)).collect()}
+    got = {(r["g"], r["q"]): r["est"] for r in
+           SK.read_quantile_store(spark, root, (50, 90, 99), ("g",)).collect()}
+    assert got == want
+    stream_quantiles(spark, src, root, "v", group_cols=("g",), schema=sch)
+    again = {(r["g"], r["q"]): r["est"] for r in
+             SK.read_quantile_store(spark, root, (50, 90, 99), ("g",)).collect()}
+    assert again == want
