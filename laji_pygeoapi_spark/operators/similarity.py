@@ -231,9 +231,37 @@ def write_ivf_store(df: DataFrame, codebook: DataFrame, root: str,
              .write.mode("overwrite").partitionBy("ivf_list").parquet(root))
 
 
+def _append_partitioned(out: DataFrame, root: str, job_id: str | None) -> None:
+    """Append partitioned-by-``ivf_list`` rows to an index store.
+
+    ``job_id=None``: plain append (caller guarantees no replays).  With a
+    job id, the append is EXACTLY-ONCE under retry/replay via the same
+    staged-commit protocol as the main store (sources/table): skip if this
+    job's marker exists, heal any half-published attempt, stage, move in
+    with a job-prefixed filename, then commit by writing the marker —
+    dot/underscore-prefixed staging and marker paths are invisible to
+    parquet readers throughout."""
+    writer = out.repartition("ivf_list").write.partitionBy("ivf_list")
+    if job_id is None:
+        writer.mode("append").parquet(root)
+        return
+    import os
+    from ..sources.table import (_write_json_atomic, heal_staged_files,
+                                 publish_staged_files)
+    marker = os.path.join(root, "_appends", f"{job_id}.json")
+    if os.path.exists(marker):
+        return
+    staging = os.path.join(root, f".staged-{job_id}")
+    heal_staged_files(root, staging, job_id)
+    writer.mode("overwrite").parquet(staging)
+    publish_staged_files(root, staging, job_id)
+    import time
+    _write_json_atomic(marker, {"job_id": job_id, "committed_at": time.time()})
+
+
 def ivf_append(df: DataFrame, codebook: DataFrame, root: str,
                vec_col: str = "embedding", id_col: str = "vec_id",
-               round_dp: int = 4) -> None:
+               round_dp: int = 4, job_id: str | None = None) -> None:
     """INCREMENTAL index maintenance: assign only the NEW batch to the
     existing centroids and append it to the posting-list partitions —
     O(batch) work, the stored lists are never rewritten.  Queries prune
@@ -244,11 +272,14 @@ def ivf_append(df: DataFrame, codebook: DataFrame, root: str,
     slowly and retrains offline (a full :func:`write_ivf_store` rebuild);
     between retrains, appends keep the index serving fresh vectors at
     delta cost.  Works for the IVF+PQ store too via
-    :func:`ivfpq_append` (residual codes reuse the persisted books)."""
+    :func:`ivfpq_append` (residual codes reuse the persisted books).
+
+    ``job_id``: pass one to make the append exactly-once under replay
+    (staged-commit protocol, see :func:`_append_partitioned`) — required
+    when driven from a streaming foreachBatch or any retrying scheduler."""
     assigned = ivf_assign(df, codebook, vec_col=vec_col, id_col=id_col,
                           round_dp=round_dp)
-    (assigned.repartition("ivf_list")
-             .write.mode("append").partitionBy("ivf_list").parquet(root))
+    _append_partitioned(assigned, root, job_id)
 
 
 def ivf_topk_stored(spark, root: str, codebook: DataFrame, query_vec,
@@ -436,7 +467,7 @@ def load_ivfpq_books(root: str) -> np.ndarray:
 
 def ivfpq_append(df: DataFrame, codebook: DataFrame, root: str,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 round_dp: int = 4) -> None:
+                 round_dp: int = 4, job_id: str | None = None) -> None:
     """Incremental append for the IVF+PQ store: coarse-assign the new
     batch, residual-encode it against the PERSISTED books (no retraining
     — the quantizer must stay fixed or old codes become unreadable), and
@@ -454,8 +485,7 @@ def ivfpq_append(df: DataFrame, codebook: DataFrame, root: str,
     codes = pq_encode(resid, books, vec_col="_resid", id_col=id_col)
     out = (assigned.select(id_col, "ivf_list")
            .join(codes, id_col))
-    (out.repartition("ivf_list")
-        .write.mode("append").partitionBy("ivf_list").parquet(root))
+    _append_partitioned(out, root, job_id)
 
 
 def ivfpq_topk_stored(spark, root: str, codebook: DataFrame,

@@ -144,15 +144,13 @@ def write_partitioned(df: DataFrame, root: str, job_id: str,
     return manifest_doc
 
 
-def _heal_staged(root: str, job_id: str) -> None:
+def heal_staged_files(data_dir: str, staging_dir: str, job_id: str) -> None:
     """Remove every trace of an UNCOMMITTED staged append for ``job_id``:
     its ``<job_id>-`` prefixed data files and its staging directory.  Safe
-    because the caller verified the commit marker (the job's manifest) is
-    absent — these files are invisible to manifest-driven readers and would
-    duplicate rows once the replay re-appends them."""
+    only when the caller has verified the commit marker is absent — these
+    files would duplicate rows once the replay re-appends them."""
     import shutil
-    shutil.rmtree(os.path.join(root, f"data.staged-{job_id}"), ignore_errors=True)
-    data_dir = os.path.join(root, "data")
+    shutil.rmtree(staging_dir, ignore_errors=True)
     prefix = f"{job_id}-"
     for dirpath, _dirnames, filenames in os.walk(data_dir):
         for fname in filenames:
@@ -160,16 +158,14 @@ def _heal_staged(root: str, job_id: str) -> None:
                 os.remove(os.path.join(dirpath, fname))
 
 
-def _publish_staged(root: str, job_id: str) -> None:
-    """Move a staged write's parquet files into the live ``data/`` tree
-    under a ``<job_id>-`` filename prefix (so :func:`_heal_staged` can
-    identify them), then drop the staging directory.  Rename-only — no data
-    copy on a same-filesystem store."""
+def publish_staged_files(data_dir: str, staging_dir: str, job_id: str) -> None:
+    """Move a staged write's parquet files into the live tree under a
+    ``<job_id>-`` filename prefix (so :func:`heal_staged_files` can
+    identify them), then drop the staging directory.  Rename-only — no
+    data copy on a same-filesystem store."""
     import shutil
-    staged = os.path.join(root, f"data.staged-{job_id}")
-    data_dir = os.path.join(root, "data")
-    for dirpath, _dirnames, filenames in os.walk(staged):
-        rel = os.path.relpath(dirpath, staged)
+    for dirpath, _dirnames, filenames in os.walk(staging_dir):
+        rel = os.path.relpath(dirpath, staging_dir)
         for fname in filenames:
             if not fname.endswith(".parquet"):
                 continue  # _SUCCESS / .crc markers stay behind
@@ -177,7 +173,17 @@ def _publish_staged(root: str, job_id: str) -> None:
             os.makedirs(dest_dir, exist_ok=True)
             os.replace(os.path.join(dirpath, fname),
                        os.path.join(dest_dir, f"{job_id}-{fname}"))
-    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(staging_dir, ignore_errors=True)
+
+
+def _heal_staged(root: str, job_id: str) -> None:
+    heal_staged_files(os.path.join(root, "data"),
+                      os.path.join(root, f"data.staged-{job_id}"), job_id)
+
+
+def _publish_staged(root: str, job_id: str) -> None:
+    publish_staged_files(os.path.join(root, "data"),
+                         os.path.join(root, f"data.staged-{job_id}"), job_id)
 
 
 _BLOOM_K = 4  # hash rows per key (FPR ≈ (1 - e^(-k·n/bits))^k)

@@ -567,3 +567,33 @@ def test_domain_extraction_and_blocklist_drop(spark):
     kept = sorted(r["doc_id"] for r in
                   TXO.drop_blocklisted(df, bl).collect())
     assert kept == [2, 3]
+
+
+def test_ivf_append_exactly_once_replay(spark, tmp_path):
+    """job_id-tagged index appends are exactly-once: a committed replay is
+    a no-op and a half-published attempt (files in, marker missing) heals
+    — store row count and query results never change."""
+    rng = np.random.RandomState(23)
+    centers = rng.standard_normal((3, 8)) * 3
+    vecs = np.vstack([centers[i % 3] + rng.standard_normal(8) * 0.3
+                      for i in range(150)])
+    pdf = pd.DataFrame({"vec_id": range(150),
+                        "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    codebook = spark.createDataFrame(pd.DataFrame({
+        "cid": range(3), "cvec": [centers[i].tolist() for i in range(3)]}))
+    root = str(tmp_path / "ivf")
+    SIM.write_ivf_store(df.filter(F.col("vec_id") < 100), codebook, root)
+    new = df.filter(F.col("vec_id") >= 100)
+    SIM.ivf_append(new, codebook, root, job_id="b7")
+    assert spark.read.parquet(root).count() == 150
+    SIM.ivf_append(new, codebook, root, job_id="b7")  # committed replay
+    assert spark.read.parquet(root).count() == 150
+    import os
+    os.remove(os.path.join(root, "_appends", "b7.json"))  # crash window
+    SIM.ivf_append(new, codebook, root, job_id="b7")
+    assert spark.read.parquet(root).count() == 150  # healed, not 200
+    q = vecs[5].tolist()
+    got = [r["vec_id"] for r in
+           SIM.ivf_topk_stored(spark, root, codebook, q, k=8, nprobe=2).collect()]
+    assert len(got) == len(set(got)) == 8  # no duplicate ids from replays
