@@ -1710,7 +1710,7 @@ def oracle_sql() -> dict[str, str]:
             ), urls AS (
               SELECT doc_id,
                 unnest(regexp_extract_all(text,
-                  'https?://[A-Za-z0-9.-]+(?:/[^\\s"'']*)?')) AS url
+                  'https?://[A-Za-z0-9.-]+(?:/[^ \\t\\r\\n\\f\\x0B"'']*)?')) AS url
               FROM aug
             ), hosts AS (
               SELECT doc_id,

@@ -572,7 +572,12 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     # near-empty partitions × rounds dominated toy-scale wall (measured
     # 1.9 s for 2 rounds over 256 edges).  ~100 k edge-endpoints per task
     # keeps partitions executor-memory-sized at any scale; the conf is
-    # restored after the loop (it only affects plans compiled inside it).
+    # restored after the loop.  CAVEAT: spark.conf is session-global — an
+    # UNRELATED query planned on the same session while the loop runs
+    # compiles with the loop's (small) partition count.  Results stay
+    # correct; on a session shared with a serving path, run clustering on
+    # its own SparkSession (AQE coalescing cannot replace this here: the
+    # lazily-checkpointed round plans are outside its re-optimization).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     iter_parts = max(1, min(int(prev_parts), (2 * n_edges) // 100_000 + 1))
     labels = verts.select("id", F.col("id").alias("comp")).localCheckpoint()

@@ -441,23 +441,36 @@ def write_ivfpq_store(df: DataFrame, codebook: DataFrame, root: str,
     (:func:`ivfpq_topk_stored`).  The trained books are returned AND
     persisted beside the store (``_books.npy``) so later sessions can
     query without retraining."""
+    assigned, resid = _ivfpq_residuals(df, codebook, vec_col, id_col, round_dp)
+    if books is None:
+        books = pq_train(resid, m_blocks=m_blocks, n_codes=n_codes,
+                         vec_col="_resid", id_col=id_col, sample_n=sample_n)
+    out = _ivfpq_codes(assigned, resid, books, id_col)
+    (out.repartition("ivf_list")
+        .write.mode("overwrite").partitionBy("ivf_list").parquet(root))
+    import os
+    np.save(os.path.join(root, "_books.npy"), books)
+    return books
+
+
+def _ivfpq_residuals(df: DataFrame, codebook: DataFrame, vec_col: str,
+                     id_col: str, round_dp: int):
+    """Shared coarse-assign + residual chain for the IVF+PQ write AND
+    append paths — ONE definition of the residual convention, so appended
+    codes can never drift from rebuilt ones (round-4 review finding)."""
     assigned = ivf_assign(df, codebook, vec_col=vec_col, id_col=id_col,
                           round_dp=round_dp)
     resid = (assigned.join(F.broadcast(codebook),
                            assigned["ivf_list"] == codebook["cid"])
              .withColumn("_resid", F.zip_with(F.col(vec_col), F.col("cvec"),
                                               lambda x, c: x - c)))
-    if books is None:
-        books = pq_train(resid, m_blocks=m_blocks, n_codes=n_codes,
-                         vec_col="_resid", id_col=id_col, sample_n=sample_n)
+    return assigned, resid
+
+
+def _ivfpq_codes(assigned: DataFrame, resid: DataFrame, books: np.ndarray,
+                 id_col: str) -> DataFrame:
     codes = pq_encode(resid, books, vec_col="_resid", id_col=id_col)
-    out = (assigned.select(id_col, "ivf_list")
-           .join(codes, id_col))
-    (out.repartition("ivf_list")
-        .write.mode("overwrite").partitionBy("ivf_list").parquet(root))
-    import os
-    np.save(os.path.join(root, "_books.npy"), books)
-    return books
+    return assigned.select(id_col, "ivf_list").join(codes, id_col)
 
 
 def load_ivfpq_books(root: str) -> np.ndarray:
@@ -475,16 +488,8 @@ def ivfpq_append(df: DataFrame, codebook: DataFrame, root: str,
     queries are indistinguishable from a store built from the union with
     the same codebook + books (pytest-gated)."""
     books = load_ivfpq_books(root)
-    m_blocks = books.shape[0]
-    assigned = ivf_assign(df, codebook, vec_col=vec_col, id_col=id_col,
-                          round_dp=round_dp)
-    resid = (assigned.join(F.broadcast(codebook),
-                           assigned["ivf_list"] == codebook["cid"])
-             .withColumn("_resid", F.zip_with(F.col(vec_col), F.col("cvec"),
-                                              lambda x, c: x - c)))
-    codes = pq_encode(resid, books, vec_col="_resid", id_col=id_col)
-    out = (assigned.select(id_col, "ivf_list")
-           .join(codes, id_col))
+    assigned, resid = _ivfpq_residuals(df, codebook, vec_col, id_col, round_dp)
+    out = _ivfpq_codes(assigned, resid, books, id_col)
     _append_partitioned(out, root, job_id)
 
 

@@ -364,10 +364,29 @@ def update_quantile_store(spark, batch_df: DataFrame, root: str,
     replay rewrites the same delta instead of adding a second one.
     Readers merge all deltas (:func:`read_quantile_store`) — counters are
     associative, so merge order is irrelevant; ``compact_quantile_store``
-    folds deltas into one when the directory count grows."""
+    folds deltas into one when the directory count grows.  A batch whose
+    delta was already folded into a compacted delta is SKIPPED on replay
+    (the compacted delta's supersession list is the durable commit record
+    — without the check, replay-after-compaction would recreate the delta
+    and double-count, round-4 review finding #2).
+
+    ``batch_id=None`` is for one-shot MANUAL folds: the delta gets a fresh
+    ``delta-manual-<n>`` name (no replay contract — replay semantics need
+    a stable batch id)."""
     import os
+    if batch_id is not None:
+        name = f"delta-{batch_id}"
+        if name in _superseded_deltas(root):
+            return  # already folded into a compacted delta — replay no-op
+    else:
+        os.makedirs(root, exist_ok=True)
+        taken = {d for d in os.listdir(root) if d.startswith("delta-manual-")} \
+            | _superseded_deltas(root)
+        n = 0
+        while f"delta-manual-{n}" in taken:
+            n += 1
+        name = f"delta-manual-{n}"
     sk = quantile_sketch(batch_df, value_col, group_cols, b)
-    name = f"delta-{batch_id}" if batch_id is not None else "delta-0"
     sk.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, name))
 
 
@@ -377,23 +396,39 @@ def read_quantile_store(spark, root: str, qs=(50, 90, 99), group_cols=(),
     read however many batches have been folded.  Deltas listed in a
     compacted delta's ``_superseded.json`` are skipped, so a crash between
     compaction's install and its cleanup can never double-count."""
-    merged = quantile_merge(*[spark.read.parquet(p)
-                              for p in _live_quantile_deltas(root)],
+    deltas = _live_quantile_deltas(root)
+    if not deltas:
+        raise FileNotFoundError(
+            f"no quantile deltas at {root!r} — the store is empty or the "
+            "path is wrong (fold a batch with update_quantile_store first)")
+    merged = quantile_merge(*[spark.read.parquet(p) for p in deltas],
                             group_cols=group_cols)
     return quantile_from_sketch(merged, qs, group_cols, b)
 
 
-def _live_quantile_deltas(root: str) -> list[str]:
+def _superseded_deltas(root: str) -> set[str]:
+    """Delta names already folded into a compacted delta — the durable
+    record that makes replay-after-compaction a no-op."""
     import json
     import os
-    deltas = {d for d in os.listdir(root) if d.startswith("delta-")}
     superseded: set[str] = set()
-    for d in deltas:
+    if not os.path.isdir(root):
+        return superseded
+    for d in os.listdir(root):
         marker = os.path.join(root, d, "_superseded.json")
-        if os.path.exists(marker):
+        if d.startswith("delta-") and os.path.exists(marker):
             with open(marker) as f:
                 superseded.update(json.load(f))
-    return [os.path.join(root, d) for d in sorted(deltas - superseded)]
+    return superseded
+
+
+def _live_quantile_deltas(root: str) -> list[str]:
+    import os
+    if not os.path.isdir(root):
+        return []
+    deltas = {d for d in os.listdir(root) if d.startswith("delta-")}
+    return [os.path.join(root, d)
+            for d in sorted(deltas - _superseded_deltas(root))]
 
 
 def compact_quantile_store(spark, root: str, group_cols=()) -> None:

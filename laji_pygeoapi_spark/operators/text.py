@@ -189,7 +189,11 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # URL syntax restricted to Java-regex ∩ RE2 semantics (same contract as
 # PII_PATTERNS): character classes only, no lookaround
-URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[^\s\"']*)?"
+# Whitespace is the EXPLICIT escape list, not \s — Java's \s includes
+# \x0B where RE2's does not, so \s would make Spark and the DuckDB oracle
+# extract different URLs around a vertical tab (round-4 review finding;
+# same rule as the tokenizer's explicit ASCII class).
+URL_PATTERN = "https?://[A-Za-z0-9.-]+(?:/[^ \\t\\r\\n\\f\\x0B\"']*)?"
 HOST_PATTERN = r"https?://([A-Za-z0-9.-]+)"
 
 

@@ -79,9 +79,22 @@ def write_partitioned(df: DataFrame, root: str, job_id: str,
     if bloom_col:
         _check_bloom_dtype(df, bloom_col)
     manifest_path = os.path.join(root, "_manifests", f"manifest-{job_id}.json")
+    commit_marker = os.path.join(root, "_commits", f"{job_id}.json")
     if staged:
         if os.path.exists(manifest_path):  # committed — replay is a no-op
             with open(manifest_path) as f:
+                return json.load(f)
+        if os.path.exists(commit_marker):
+            # committed, but the manifest was archived by a later
+            # compaction (which also erased the job-prefixed filenames) —
+            # without this durable marker the replay would re-append the
+            # batch permanently (round-4 review finding #1)
+            archived = os.path.join(root, "_manifests", "archived",
+                                    f"manifest-{job_id}.json")
+            if os.path.exists(archived):
+                with open(archived) as f:
+                    return json.load(f)
+            with open(commit_marker) as f:
                 return json.load(f)
         _heal_staged(root, job_id)
     # persist the batch FIRST so both consumers below (the partitioned write
@@ -141,6 +154,11 @@ def write_partitioned(df: DataFrame, root: str, job_id: str,
                                  "k": _BLOOM_K}
     _write_json_atomic(os.path.join(root, "_manifests", f"manifest-{job_id}.json"),
                        manifest_doc)
+    if staged:
+        # durable commit record that survives manifest archival (compaction)
+        _write_json_atomic(commit_marker,
+                           {"job_id": job_id, "committed_at": time.time(),
+                            "total_rows": total_rows})
     return manifest_doc
 
 

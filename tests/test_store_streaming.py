@@ -556,8 +556,10 @@ def test_staged_append_exactly_once(spark, root):
     assert again["total_rows"] == 200
     assert store.read_table(spark, root).count() == 200
     assert store.count_from_manifest(root) == 200
-    # crash-before-commit replay: data files landed, manifest did not
+    # crash-before-commit replay: data files landed, but neither the
+    # manifest nor the durable commit marker was written
     os.remove(os.path.join(root, "_manifests", "manifest-b0.json"))
+    os.remove(os.path.join(root, "_commits", "b0.json"))
     healed = store.write_partitioned(imgs, root, "b0", staged=True)
     assert healed["total_rows"] == 200
     assert store.read_table(spark, root).count() == 200  # not 400
@@ -613,3 +615,42 @@ def test_hll_store_swap_never_absent(spark, tmp_path):
     SK.update_hll_store(spark, b, sroot, "image_id")
     est = SK.read_hll_store(spark, sroot)[()]
     assert abs(est - 300) / 300 < 0.15  # folded BOTH batches, not just b
+
+
+def test_staged_append_replay_after_compaction(spark, root):
+    """Round-4 review finding #1: compaction archives the per-batch
+    manifest AND erases job-prefixed filenames, so the manifest alone
+    cannot be the staged append's commit record — the durable _commits
+    marker must make a post-compaction replay a no-op."""
+    imgs = ING.ingest_fused(fixtures.images_df(spark, 150, with_bytes=False))
+    store.write_partitioned(imgs, root, "s0", staged=True)
+    assert store.read_table(spark, root).count() == 150
+    store.compact_store(spark, root, "c1")
+    assert store.count_from_manifest(root) == 150
+    # replay the committed batch AFTER compaction
+    doc = store.write_partitioned(imgs, root, "s0", staged=True)
+    assert doc["total_rows"] == 150
+    assert store.read_table(spark, root).count() == 150  # not 300
+    assert store.count_from_manifest(root) == 150
+
+
+def test_quantile_store_replay_after_compaction(spark, tmp_path):
+    """Round-4 review finding #2: a batch folded into a compacted delta
+    must be skipped on replay (the supersession list is the commit
+    record), or its counters would be summed twice."""
+    import pyspark.sql.functions as F
+    from laji_pygeoapi_spark.operators import sketch as SK
+    root = str(tmp_path / "q")
+    df = spark.range(3000).select((F.col("id") * 31 % 9000).alias("v"))
+    a = df.filter(F.col("v") % 2 == 0)
+    b = df.filter(F.col("v") % 2 == 1)
+    SK.update_quantile_store(spark, a, root, "v", batch_id=0)
+    SK.update_quantile_store(spark, b, root, "v", batch_id=1)
+    want = {r["q"]: r["est"] for r in SK.read_quantile_store(spark, root).collect()}
+    SK.compact_quantile_store(spark, root)
+    SK.update_quantile_store(spark, b, root, "v", batch_id=1)  # replay
+    got = {r["q"]: r["est"] for r in SK.read_quantile_store(spark, root).collect()}
+    assert got == want
+    # empty store: clear error, not IndexError
+    with pytest.raises(FileNotFoundError, match="no quantile deltas"):
+        SK.read_quantile_store(spark, str(tmp_path / "missing"))
