@@ -676,6 +676,19 @@ def q_hourly_rollup(spark, sf_dir):
               .withColumn("hour", F.date_format("hour", "yyyy-MM-dd'T'HH:mm:ss'Z'")))
 
 
+def q_gapfill_hourly(spark, sf_dir):
+    """Hourly resample with zero-filled gaps (temporal.gap_fill_hourly):
+    the dense (hour x event_type) grid is GENERATED from the global hour
+    bounds and left-joined with the sparse rollup — grid size is
+    independent of event count.  Hour axis formatted RFC3339 like the
+    rollup oracle."""
+    from laji_pygeoapi_spark.operators.temporal import gap_fill_hourly
+    ev = _tbl(spark, sf_dir, "events")
+    out = gap_fill_hourly(ev)
+    return out.withColumn("hour",
+                          F.date_format("hour", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+
+
 def q_hll_distinct(spark, sf_dir):
     """Mergeable HyperLogLog cardinality sketch (operators/sketch.py):
     distinct customers per order priority as an INTEGER-exact register
@@ -990,6 +1003,7 @@ OVERFLOW_QUERIES = (
     "token_len_quantiles",  # mergeable log-bucket quantile sketch
     "knn_join",             # all-pairs kNN join (no driver query list)
     "domain_stats",         # URL/domain blocklist frequency pass
+    "gapfill_hourly",       # zero-filled dense hourly resample
 )
 
 
@@ -1056,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_len_quantiles": q_token_len_quantiles,
         "knn_join": q_knn_join,
         "domain_stats": q_domain_stats,
+        "gapfill_hourly": q_gapfill_hourly,
     }
 
 
@@ -1986,6 +2001,26 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS cnt,
                    CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_cents
             FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "gapfill_hourly": """
+            WITH r AS (
+              SELECT date_trunc('hour', ts) AS hour, event_type,
+                     count(*) AS cnt,
+                     CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_cents
+              FROM events GROUP BY 1, 2
+            ), b AS (
+              SELECT date_trunc('hour', min(ts)) AS h0,
+                     date_trunc('hour', max(ts)) AS h1 FROM events
+            ), hours AS (
+              SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+              FROM b
+            ), g AS (SELECT DISTINCT event_type FROM events)
+            SELECT strftime(hours.hour, '%Y-%m-%dT%H:%M:%SZ') AS hour,
+                   g.event_type,
+                   COALESCE(r.cnt, 0) AS cnt,
+                   COALESCE(r.sum_cents, 0) AS sum_cents
+            FROM hours CROSS JOIN g
+            LEFT JOIN r ON hours.hour = r.hour AND g.event_type = r.event_type
         """,
         "centroid_rank": """
             WITH e AS (

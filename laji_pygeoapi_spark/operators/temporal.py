@@ -96,3 +96,35 @@ def range_join_point(points: DataFrame, intervals: DataFrame, key_cols=(),
     return (joined.filter((F.col(ts_col) >= F.col(start_col))
                           & (F.col(ts_col) <= F.col(end_col)))
                   .drop("_bin"))
+
+
+def gap_fill_hourly(events: DataFrame, ts_col: str = "ts",
+                    group_cols=("event_type",),
+                    value_col: str = "value") -> DataFrame:
+    """Dense hourly resample with ZERO-FILLED gaps — the time-series
+    gap-fill the plain rollup lacks (a chart or downstream window over
+    sparse hours needs explicit zero rows, not absent ones).
+
+    Scale shape: the hour axis is GENERATED (``sequence`` + ``explode``
+    from the global [min, max] hour bounds — one tiny agg, no scan of a
+    calendar table), the distinct group set broadcasts against it, and
+    the sparse rollup LEFT-joins the dense grid on (hour, group) — one
+    shuffle join whose size is |groups| x |hours|, independent of event
+    count.  Sums are integer cents (cross-engine determinism, same
+    convention as the rollup oracle)."""
+    hour = F.date_trunc("hour", F.col(ts_col))
+    rolled = (events.groupBy(hour.alias("hour"), *group_cols)
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.round(F.sum(value_col) * 100, 0).cast("long")
+                    .alias("sum_cents")))
+    bounds = events.agg(F.date_trunc("hour", F.min(ts_col)).alias("h0"),
+                        F.date_trunc("hour", F.max(ts_col)).alias("h1"))
+    hours = bounds.select(F.explode(F.sequence(
+        F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))).alias("hour"))
+    groups = events.select(*group_cols).distinct()
+    grid = hours.crossJoin(F.broadcast(groups))
+    out = (grid.join(rolled, ["hour", *group_cols], "left")
+               .select("hour", *group_cols,
+                       F.coalesce("cnt", F.lit(0)).alias("cnt"),
+                       F.coalesce("sum_cents", F.lit(0)).alias("sum_cents")))
+    return out
