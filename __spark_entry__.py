@@ -945,6 +945,29 @@ def q_range_join(spark, sf_dir):
     return out.select("event_id", "window_id")
 
 
+def q_interval_join(spark, sf_dir):
+    """Interval-overlap join (temporal.interval_overlap_join): two
+    interval sets synthesized deterministically from events (start = ts,
+    integer-second durations), matched where they overlap — bin-bucketed
+    equi-join emitting each true pair exactly once at the overlap's first
+    bin (no dedup shuffle).  Oracle: the brute-force inequality join."""
+    from laji_pygeoapi_spark.operators.temporal import interval_overlap_join
+    ev = _tbl(spark, sf_dir, "events").select("event_id", "ts")
+    ep = F.col("ts").cast("timestamp").cast("long")
+    li = (ev.filter(F.col("event_id") % 50 == 0)
+            .select(F.col("event_id").alias("l_id"),
+                    F.col("ts").cast("timestamp").alias("l_start"),
+                    F.timestamp_seconds(
+                        ep + (F.col("event_id") % 7) * 600 + 600).alias("l_end")))
+    ri = (ev.filter(F.col("event_id") % 37 == 0)
+            .select(F.col("event_id").alias("r_id"),
+                    F.col("ts").cast("timestamp").alias("r_start"),
+                    F.timestamp_seconds(
+                        ep + (F.col("event_id") % 11) * 900 + 900).alias("r_end")))
+    out = interval_overlap_join(li, ri, bin_seconds=1800)
+    return out.select("l_id", "r_id")
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.asof_join): odd events pick up the
     latest prior-or-equal even event per user — Spark has no ASOF
@@ -1004,6 +1027,7 @@ OVERFLOW_QUERIES = (
     "knn_join",             # all-pairs kNN join (no driver query list)
     "domain_stats",         # URL/domain blocklist frequency pass
     "gapfill_hourly",       # zero-filled dense hourly resample
+    "interval_join",        # interval-overlap range join
 )
 
 
@@ -1071,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "domain_stats": q_domain_stats,
         "gapfill_hourly": q_gapfill_hourly,
+        "interval_join": q_interval_join,
     }
 
 
@@ -2001,6 +2026,21 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS cnt,
                    CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_cents
             FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "interval_join": """
+            WITH li AS (
+              SELECT event_id AS l_id, ts AS l_start,
+                     date_trunc('second', ts)
+                       + to_seconds(CAST(event_id % 7 AS BIGINT) * 600 + 600) AS l_end
+              FROM events WHERE event_id % 50 = 0
+            ), ri AS (
+              SELECT event_id AS r_id, ts AS r_start,
+                     date_trunc('second', ts)
+                       + to_seconds(CAST(event_id % 11 AS BIGINT) * 900 + 900) AS r_end
+              FROM events WHERE event_id % 37 = 0
+            )
+            SELECT l_id, r_id FROM li, ri
+            WHERE l_start <= r_end AND r_start <= l_end
         """,
         "gapfill_hourly": """
             WITH r AS (

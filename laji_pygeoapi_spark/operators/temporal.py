@@ -128,3 +128,43 @@ def gap_fill_hourly(events: DataFrame, ts_col: str = "ts",
                        F.coalesce("cnt", F.lit(0)).alias("cnt"),
                        F.coalesce("sum_cents", F.lit(0)).alias("sum_cents")))
     return out
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame, key_cols=(),
+                          l_start: str = "l_start", l_end: str = "l_end",
+                          r_start: str = "r_start", r_end: str = "r_end",
+                          bin_seconds: int = 3600) -> DataFrame:
+    """Interval-overlap RANGE JOIN ([ls,le] ∩ [rs,re] ≠ ∅) without the
+    quadratic theta-join — the interval-interval sibling of
+    :func:`range_join_point`.
+
+    Both sides explode to the time bins they cover and EQUI-join on
+    (key, bin).  A true pair can share MANY bins; instead of a distinct,
+    the match is kept only at the overlap's FIRST bin
+    (``greatest(floor(ls/b), floor(rs/b))`` — always a shared bin of any
+    overlapping pair, and unique), so the join emits exactly one row per
+    true pair with no dedup shuffle.  Cost: Σ bins per side + one hash
+    join; choose ``bin_seconds`` ≈ the typical interval length.
+
+    Column names of the two sides must be disjoint (outside ``key_cols``)
+    — raises otherwise rather than silently mis-resolving."""
+    shared = (set(left.columns) & set(right.columns)) - set(key_cols)
+    if shared:
+        raise ValueError(f"left/right column name collision: {sorted(shared)}")
+    key_cols = list(key_cols)
+    b = F.lit(int(bin_seconds))
+
+    def epoch(c):
+        return F.col(c).cast("timestamp").cast("long")
+
+    lb = left.withColumn("_bin", F.explode(F.sequence(
+        F.floor(epoch(l_start) / b), F.floor(epoch(l_end) / b))))
+    rb = right.withColumn("_bin", F.explode(F.sequence(
+        F.floor(epoch(r_start) / b), F.floor(epoch(r_end) / b))))
+    j = lb.join(rb, key_cols + ["_bin"])
+    first_shared = F.greatest(F.floor(epoch(l_start) / b),
+                              F.floor(epoch(r_start) / b))
+    return (j.filter((F.col(l_start) <= F.col(r_end))
+                     & (F.col(r_start) <= F.col(l_end))
+                     & (F.col("_bin") == first_shared))
+             .drop("_bin"))

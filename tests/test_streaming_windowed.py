@@ -224,3 +224,32 @@ def test_range_join_point_matches_bruteforce(spark):
                .select("pid", "iid").collect()}
         assert got == want, bin_s
     assert len(want) > 0
+
+
+def test_interval_overlap_join_exact_once_per_pair(spark):
+    """Pairs overlapping across MANY shared bins must appear exactly once
+    (first-shared-bin trick, no dedup shuffle), boundary-touching
+    intervals count as overlapping, disjoint ones never match, and column
+    collisions are refused."""
+    import pyspark.sql.functions as F
+    import pytest
+    from laji_pygeoapi_spark.operators.temporal import interval_overlap_join
+    li = spark.createDataFrame([
+        (1, "2024-01-01 00:00:00", "2024-01-01 10:00:00"),  # spans 10 bins
+        (2, "2024-01-01 05:00:00", "2024-01-01 05:30:00"),
+        (3, "2024-01-02 00:00:00", "2024-01-02 01:00:00"),
+    ], "l_id long, l_start string, l_end string") \
+        .withColumn("l_start", F.to_timestamp("l_start")) \
+        .withColumn("l_end", F.to_timestamp("l_end"))
+    ri = spark.createDataFrame([
+        (10, "2024-01-01 00:30:00", "2024-01-01 09:30:00"),  # 9 shared bins with l1
+        (11, "2024-01-01 10:00:00", "2024-01-01 11:00:00"),  # touches l1 boundary
+        (12, "2024-01-03 00:00:00", "2024-01-03 01:00:00"),  # disjoint
+    ], "r_id long, r_start string, r_end string") \
+        .withColumn("r_start", F.to_timestamp("r_start")) \
+        .withColumn("r_end", F.to_timestamp("r_end"))
+    got = sorted((r["l_id"], r["r_id"]) for r in
+                 interval_overlap_join(li, ri, bin_seconds=3600).collect())
+    assert got == [(1, 10), (1, 11), (2, 10)]
+    with pytest.raises(ValueError, match="collision"):
+        interval_overlap_join(li, li)
