@@ -49,31 +49,41 @@ def main() -> None:
     docs = spark.read.parquet(args.docs)
     t0 = time.time()
 
+    # the lazy curated plan is shared by both steps; deterministic, so a
+    # resume that recomputes it sees exactly the rows the first attempt
+    # wrote
+    if args.multimodal:
+        out = CU.multimodal_curate(docs, lang=args.lang,
+                                   min_quality=args.min_quality,
+                                   jaccard_threshold=args.jaccard,
+                                   phash_col=args.phash_col)
+    else:
+        out = CU.curate(docs, lang=args.lang,
+                        min_quality=args.min_quality,
+                        jaccard_threshold=args.jaccard)
+
     def _curate():
-        if args.multimodal:
-            out = CU.multimodal_curate(docs, lang=args.lang,
-                                       min_quality=args.min_quality,
-                                       jaccard_threshold=args.jaccard,
-                                       phash_col=args.phash_col)
-        else:
-            out = CU.curate(docs, lang=args.lang,
-                            min_quality=args.min_quality,
-                            jaccard_threshold=args.jaccard)
-        doc = store.write_partitioned(out, args.out, args.job_id,
-                                      partition_cols=())
-        CU.release_caches(out)
-        return doc
+        # staged=True: a crash between the parquet commit and the
+        # checkpoint marker must not duplicate the survivor set on resume
+        # (review finding — the run_step marker alone is not the commit
+        # record, the staged manifest is)
+        return store.write_partitioned(out, args.out, args.job_id,
+                                       partition_cols=(), staged=True)
 
     doc = store.run_step(args.out, args.job_id, "curate", _curate)
 
     def _quantiles():
         from laji_pygeoapi_spark.operators.sketch import update_quantile_store
-        survivors = store.read_table(spark, args.out)
-        update_quantile_store(spark, survivors, f"{args.out}/_quantiles",
+        # sketch THIS JOB'S survivors, not read_table(out): quantile
+        # counters SUM on merge, so folding the whole (shared, appendable)
+        # store under a per-job delta would re-count every prior job's
+        # rows (review finding)
+        update_quantile_store(spark, out, f"{args.out}/_quantiles",
                               "n_tokens", batch_id=args.job_id)
         return True
 
     store.run_step(args.out, args.job_id, "quantiles", _quantiles)
+    CU.release_caches(out)
 
     dt = time.time() - t0
     print(json.dumps({"job_id": args.job_id, "sec": round(dt, 2),

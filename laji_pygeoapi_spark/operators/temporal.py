@@ -105,28 +105,31 @@ def gap_fill_hourly(events: DataFrame, ts_col: str = "ts",
     gap-fill the plain rollup lacks (a chart or downstream window over
     sparse hours needs explicit zero rows, not absent ones).
 
-    Scale shape: the hour axis is GENERATED (``sequence`` + ``explode``
-    from the global [min, max] hour bounds — one tiny agg, no scan of a
-    calendar table), the distinct group set broadcasts against it, and
-    the sparse rollup LEFT-joins the dense grid on (hour, group) — one
-    shuffle join whose size is |groups| x |hours|, independent of event
-    count.  Sums are integer cents (cross-engine determinism, same
-    convention as the rollup oracle)."""
+    Scale shape — ONE source scan: the sparse rollup is persisted, and
+    both grid axes derive from IT (hour bounds = min/max rollup hour,
+    group set = distinct rollup groups — every source row lands in some
+    rollup group, so nothing is lost); the dense grid then LEFT-joins the
+    same cached rollup.  Grid size is |groups| x |hours|, independent of
+    event count.  Sums are integer cents (cross-engine determinism, same
+    convention as the rollup oracle).  The rollup cache handle is
+    registered on the result (``_cached_deps``) for deterministic release.
+    """
     hour = F.date_trunc("hour", F.col(ts_col))
     rolled = (events.groupBy(hour.alias("hour"), *group_cols)
               .agg(F.count(F.lit(1)).alias("cnt"),
                    F.round(F.sum(value_col) * 100, 0).cast("long")
-                    .alias("sum_cents")))
-    bounds = events.agg(F.date_trunc("hour", F.min(ts_col)).alias("h0"),
-                        F.date_trunc("hour", F.max(ts_col)).alias("h1"))
+                    .alias("sum_cents"))
+              .persist())
+    bounds = rolled.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
     hours = bounds.select(F.explode(F.sequence(
         F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))).alias("hour"))
-    groups = events.select(*group_cols).distinct()
+    groups = rolled.select(*group_cols).distinct()
     grid = hours.crossJoin(F.broadcast(groups))
     out = (grid.join(rolled, ["hour", *group_cols], "left")
                .select("hour", *group_cols,
                        F.coalesce("cnt", F.lit(0)).alias("cnt"),
                        F.coalesce("sum_cents", F.lit(0)).alias("sum_cents")))
+    out._cached_deps = [rolled]
     return out
 
 
