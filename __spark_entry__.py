@@ -196,11 +196,15 @@ def q_knn_join(spark, sf_dir):
     pts = _points(spark, sf_dir).select("doc_id", "lon", "lat").persist()
     lefts = (pts.filter(F.col("doc_id") % 10 == 0)
                 .withColumnRenamed("doc_id", "query_id"))
-    # res 2: at this data density the ring-1 cover completes every left
-    # (profiled: res 5 pushed ~all lefts through the exact fallback — the
-    # result is identical either way, the ring path is just the fast one)
+    # fully auto-sized (density-derived res + ring, round-4 verdict #3):
+    # the sizer coarsens the cell until a <=max_ring cover spans the
+    # estimated k-th distance, then widens the ring toward ~4k candidates
+    # per left; when the cover completes every left, the zero-fallback
+    # short-circuit drops the BNL subplan entirely (profiled: fixed res 5
+    # ring 1 pushed ~all lefts through the exact fallback — identical
+    # result, the sized ring path is just the fast one)
     out = SP.knn_table_join(lefts, pts.withColumnRenamed("doc_id", "pid"),
-                            k=3, res=2, ring=1,
+                            k=3, res=None, ring=None,
                             left_id="query_id", right_id="pid",
                             exclude_self=True)
     res = out.select("query_id", F.col("pid").alias("doc_id"), "rank")
@@ -425,31 +429,56 @@ def q_phash_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def _planted_embeddings(spark, sf_dir):
+    """The driver embeddings have no natural near-dups (max pair cosine
+    0.51), so near-dups are PLANTED deterministically: each odd vec_id
+    carries its even partner's vector shifted by +0.01 per element
+    (cosine >= 0.9968 — far from both the 0.95 threshold and any rounding
+    boundary), an expression both engines evaluate identically.  Shared by
+    q_embedding_neardup and q_semantic_dedup (same `d` CTE in both SQL
+    twins)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    dbl = emb.withColumn("v", F.transform("embedding", lambda x: x.cast("double")))
+    base = dbl.select(F.col("vec_id").alias("bid"), F.col("v").alias("bv"))
+    return (dbl.select("vec_id", (F.col("vec_id") - F.col("vec_id") % 2).alias("bid"))
+               .join(base, "bid")
+               .select("vec_id",
+                       F.when(F.col("vec_id") % 2 == 0, F.col("bv"))
+                        .otherwise(F.transform("bv", lambda x: x + F.lit(0.01)))
+                        .alias("embedding")))
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding cosine near-dup pairs via multi-table OR-amplified LSH
     (2 tables x 8 sign-random-projection planes, bounded _bucket_pairs
-    expansion, exact JVM cosine verify >= 0.95).
-
-    The driver embeddings have no natural near-dups (max pair cosine 0.51),
-    so near-dups are PLANTED deterministically: each odd vec_id carries its
-    even partner's vector shifted by +0.01 per element (cosine >= 0.9968 —
-    far from both the 0.95 threshold and any rounding boundary), an
-    expression both engines evaluate identically.  The SQL twin reproduces
+    expansion, exact JVM cosine verify >= 0.95) over the planted-pair
+    embeddings (see :func:`_planted_embeddings`).  The SQL twin reproduces
     the derivation, both hyperplane tables, the bucket cap, and the verify,
     so the WHOLE operator is oracle-checked; cosines are excluded from the
     output (fp accumulation order differs across engines — pairs are the
     contract)."""
-    emb = _tbl(spark, sf_dir, "embeddings")
-    dbl = emb.withColumn("v", F.transform("embedding", lambda x: x.cast("double")))
-    base = dbl.select(F.col("vec_id").alias("bid"), F.col("v").alias("bv"))
-    derived = (dbl.select("vec_id", (F.col("vec_id") - F.col("vec_id") % 2).alias("bid"))
-                  .join(base, "bid")
-                  .select("vec_id",
-                          F.when(F.col("vec_id") % 2 == 0, F.col("bv"))
-                           .otherwise(F.transform("bv", lambda x: x + F.lit(0.01)))
-                           .alias("embedding")))
+    derived = _planted_embeddings(spark, sf_dir)
     out = DD.embedding_neardup(derived, threshold=0.95, tables=2, planes=8)
     return out.select("id_a", "id_b")
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style SEMANTIC dedup as ONE pipeline (round-4 verdict #6):
+    embedding LSH near-dup edges -> connected components (transitive
+    closure) -> keep the lowest-id representative per cluster.  Both
+    halves are oracled separately (`embedding_neardup`, `dedup_clusters`);
+    this is the composition a real training-data pipeline runs, and it
+    exercises the edge-list -> cluster -> representative seam end-to-end.
+    Output: (vec_id, rep_id, kept) for EVERY vector — singletons map to
+    themselves — so the oracle checks the full mapping, not just drops.
+    Oracle: the whole chain in one SQL query (LSH bands + bucket cap +
+    cosine verify + recursive-CTE components)."""
+    derived = _planted_embeddings(spark, sf_dir)
+    pairs = DD.embedding_neardup(derived, threshold=0.95, tables=2, planes=8)
+    cc = DD.connected_components(pairs, vertices=derived.select("vec_id"))
+    return cc.select(F.col("id").alias("vec_id"),
+                     F.col("comp").alias("rep_id"),
+                     (F.col("id") == F.col("comp")).cast("long").alias("kept"))
 
 
 def q_exact_dedup(spark, sf_dir):
@@ -1008,11 +1037,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness harness verifies only the FIRST 50 queries()
 # entries (round-3 verdict: 7 entries silently overflowed).  Ordering is
 # therefore part of the contract: positions 1-50 hold every SURVEY-§2
-# parity op and every newest/highest-risk op; positions 51-57 hold only
-# near-duplicate VARIANTS whose in-cap sibling exercises the same code
-# path (listed in OVERFLOW_QUERIES).  The overflow entries keep full
-# DuckDB oracles and are verified on every pytest run by
-# tests/test_overflow_oracles.py, so all 57 stay green somewhere.
+# parity op and every NEWEST / highest-risk op — each round's additions
+# rotate IN-cap, displacing older stable near-duplicate variants whose
+# in-cap sibling exercises the same code path.  The displaced variants
+# live in OVERFLOW_QUERIES (positions beyond DRIVER_CAP), keep full
+# DuckDB oracles, and are verified on every pytest run by
+# tests/test_overflow_oracles.py, so every entry stays green somewhere.
 DRIVER_CAP = 50
 OVERFLOW_QUERIES = (
     "count_preflight",   # manifest-count path also covered by bbox_count_manifest
@@ -1022,12 +1052,15 @@ OVERFLOW_QUERIES = (
     "jaccard_pairs",     # the verify stage inside in-cap minhash_pairs
     "pq_topk",           # PQ chain is oracled end-to-end inside in-cap ivfpq_topk
     "sample_stratified", # deterministic sampling; superset mixture_sample in-cap
-    # round-4+ additions land here too (still fully oracled, pytest-gated):
-    "token_len_quantiles",  # mergeable log-bucket quantile sketch
-    "knn_join",             # all-pairs kNN join (no driver query list)
-    "domain_stats",         # URL/domain blocklist frequency pass
-    "gapfill_hourly",       # zero-filled dense hourly resample
-    "interval_join",        # interval-overlap range join
+    # round-5 rotation: five stable variants parked to make room for the
+    # round-4 additions (verdict r4 item 1):
+    "pip_province",      # same PIP join as in-cap pip_municipality, coarser polygons
+    "token_histogram",   # same tokenize+agg path as in-cap text_profile
+    "s2_cells",          # same cell-encode kernel family as in-cap hex_cells
+    "phash_pairs",       # same banded bucket-join as in-cap multimodal_curation's phash leg
+    "intersects",        # same WKB predicate machinery as in-cap bbox_filter/dwithin
+    "exact_dedup",       # same rank-1 window path as in-cap dedup_latest;
+                         # its normalize+tokenize leg is in-cap via text_profile
 )
 
 
@@ -1036,13 +1069,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_filter": q_bbox_filter,
         "bbox_count_manifest": q_bbox_count_manifest,
         "pip_municipality": q_pip_municipality,
-        "pip_province": q_pip_province,
         "knn": q_knn,
-        "intersects": q_intersects,
         "dwithin": q_dwithin,
         "density_grid": q_density_grid,
         "hex_cells": q_hex_cells,
-        "s2_cells": q_s2_cells,
         "tiles": q_tiles,
         "dedup_latest": q_dedup_latest,
         "merge_policies": q_merge_policies,
@@ -1055,9 +1085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multivalue_map": q_multivalue_map,
         "toplog": q_toplog,
         "paging_keyset": q_paging_keyset,
-        "phash_pairs": q_phash_pairs,
         "embedding_neardup": q_embedding_neardup,
-        "exact_dedup": q_exact_dedup,
+        "semantic_dedup": q_semantic_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "brute_topk": q_brute_topk,
@@ -1065,7 +1094,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "centroid_rank": q_centroid_rank,
         "text_profile": q_text_profile,
-        "token_histogram": q_token_histogram,
         "hourly_rollup": q_hourly_rollup,
         "hll_distinct": q_hll_distinct,
         "cms_freq": q_cms_freq,
@@ -1083,6 +1111,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "tm35fin": q_tm35fin,
         "geojson": q_geojson,
+        # round-4 additions, rotated in-cap for round 5 (verdict r4 item 1):
+        "token_len_quantiles": q_token_len_quantiles,
+        "knn_join": q_knn_join,
+        "domain_stats": q_domain_stats,
+        "gapfill_hourly": q_gapfill_hourly,
+        "interval_join": q_interval_join,
         # ---- beyond DRIVER_CAP: near-duplicate variants (see above) ----
         "count_preflight": q_count_preflight,
         "pip_distributed": q_pip_distributed,
@@ -1091,11 +1125,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "pq_topk": q_pq_topk,
         "sample_stratified": q_sample_stratified,
-        "token_len_quantiles": q_token_len_quantiles,
-        "knn_join": q_knn_join,
-        "domain_stats": q_domain_stats,
-        "gapfill_hourly": q_gapfill_hourly,
-        "interval_join": q_interval_join,
+        "pip_province": q_pip_province,
+        "token_histogram": q_token_histogram,
+        "s2_cells": q_s2_cells,
+        "phash_pairs": q_phash_pairs,
+        "intersects": q_intersects,
+        "exact_dedup": q_exact_dedup,
     }
 
 
@@ -1303,6 +1338,36 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_dot_product(da.v, db_.v)
               / (sqrt(list_dot_product(da.v, da.v))
                  * sqrt(list_dot_product(db_.v, db_.v))) >= CAST(0.95 AS DOUBLE)
+    """
+    # semantic_dedup: the FULL SemDeDup chain in one SQL query — the exact
+    # embedding_neardup edge derivation above, then transitive closure via
+    # a recursive CTE and the lowest-id representative per cluster, with
+    # singletons mapping to themselves (round-4 verdict #6).
+    _nd_edges_ctes = embedding_neardup_sql.split("SELECT c.id_a", 1)[0].strip()
+    semantic_dedup_sql = f"""
+        WITH RECURSIVE {_nd_edges_ctes.removeprefix("WITH ")},
+        edges AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN d da ON da.vec_id = c.id_a
+          JOIN d db_ ON db_.vec_id = c.id_b
+          WHERE list_dot_product(da.v, db_.v)
+                / (sqrt(list_dot_product(da.v, da.v))
+                   * sqrt(list_dot_product(db_.v, db_.v))) >= CAST(0.95 AS DOUBLE)
+        ),
+        und AS (SELECT id_a AS src, id_b AS dst FROM edges
+                UNION SELECT id_b, id_a FROM edges),
+        cc AS (
+          SELECT DISTINCT src AS id, src AS comp FROM und
+          UNION
+          SELECT u.dst AS id, cc.comp FROM cc JOIN und u ON cc.id = u.src
+        ),
+        comps AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+        SELECT d.vec_id AS vec_id,
+               CAST(COALESCE(c.comp, d.vec_id) AS BIGINT) AS rep_id,
+               CAST(CASE WHEN COALESCE(c.comp, d.vec_id) = d.vec_id
+                         THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM d LEFT JOIN comps c ON c.id = d.vec_id
     """
     geojson_sql = f"""
         WITH {_PTS_CTE}
@@ -1559,6 +1624,7 @@ def oracle_sql() -> dict[str, str]:
         "tm35fin": tm35fin_sql,
         "ann_topk": ann_topk_sql,
         "embedding_neardup": embedding_neardup_sql,
+        "semantic_dedup": semantic_dedup_sql,
         "geojson": geojson_sql,
         "pq_topk": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -37,7 +37,7 @@ HEADLINE = [
     "dedup_clusters", "dwithin", "density_grid", "pq_topk",
     "asof_join", "range_join", "ivfpq_topk", "curation",
     "multimodal_curation", "token_len_quantiles", "knn_join",
-    "domain_stats", "gapfill_hourly", "interval_join",
+    "domain_stats", "gapfill_hourly", "interval_join", "semantic_dedup",
 ]
 
 

@@ -292,6 +292,12 @@ def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
                 "(same order), alongside after_id")
         if offset:
             raise QueryError("after_id and offset are mutually exclusive")
+    if after_values is not None and not sortby:
+        # round-4 ADVICE: silently ignoring the cursor values would return
+        # a page that does not match the caller's intended position
+        raise QueryError("after_values requires sortby (the cursor values "
+                         "pair with the sort columns); for id-only keyset "
+                         "paging pass after_id alone")
     pred = F.lit(True)
     if bbox is not None:
         cell = "cell_prefix" if "cell_prefix" in df.columns else None

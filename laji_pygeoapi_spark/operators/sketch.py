@@ -423,12 +423,28 @@ def _superseded_deltas(root: str) -> set[str]:
 
 
 def _live_quantile_deltas(root: str) -> list[str]:
+    """Live = delta-* dirs that are (a) not superseded by a compaction and
+    (b) COMPLETE — carry the _SUCCESS marker Spark's committer writes last.
+    A crashed ``update_quantile_store`` that is never replayed (manual fold,
+    abandoned stream) leaves a torn delta whose present part-files would
+    silently under-count; skipping marker-less dirs makes the reader see
+    exactly the committed batches (round-4 ADVICE)."""
     import os
     if not os.path.isdir(root):
         return []
-    deltas = {d for d in os.listdir(root) if d.startswith("delta-")}
+    deltas = {d for d in os.listdir(root) if d.startswith("delta-")
+              and os.path.exists(os.path.join(root, d, "_SUCCESS"))}
     return [os.path.join(root, d)
             for d in sorted(deltas - _superseded_deltas(root))]
+
+
+def _torn_quantile_deltas(root: str) -> list[str]:
+    import os
+    if not os.path.isdir(root):
+        return []
+    return [os.path.join(root, d) for d in sorted(os.listdir(root))
+            if d.startswith("delta-")
+            and not os.path.exists(os.path.join(root, d, "_SUCCESS"))]
 
 
 def compact_quantile_store(spark, root: str, group_cols=()) -> None:
@@ -444,6 +460,11 @@ def compact_quantile_store(spark, root: str, group_cols=()) -> None:
     import json
     import os
     import shutil
+    # sweep torn deltas (no _SUCCESS): readers already skip them; a
+    # replayed batch_id overwrites its dir anyway, and an abandoned one is
+    # garbage that would otherwise accumulate forever
+    for torn in _torn_quantile_deltas(root):
+        shutil.rmtree(torn, ignore_errors=True)
     live = _live_quantile_deltas(root)
     if len(live) <= 1:
         return

@@ -81,21 +81,44 @@ def write_partitioned(df: DataFrame, root: str, job_id: str,
     manifest_path = os.path.join(root, "_manifests", f"manifest-{job_id}.json")
     commit_marker = os.path.join(root, "_commits", f"{job_id}.json")
     if staged:
+        archived = os.path.join(root, "_manifests", "archived",
+                                f"manifest-{job_id}.json")
         if os.path.exists(manifest_path):  # committed — replay is a no-op
             with open(manifest_path) as f:
-                return json.load(f)
+                doc = json.load(f)
+            if not os.path.exists(commit_marker):
+                # self-heal: a crash BETWEEN the manifest write and the
+                # marker write left a committed append with no durable
+                # record.  Backfill the marker now, else a later compaction
+                # (which archives the manifest and renames the job-prefixed
+                # files) would make the NEXT replay re-append the batch —
+                # permanent duplication (round-4 ADVICE, medium).
+                _write_json_atomic(commit_marker,
+                                   {"job_id": job_id,
+                                    "committed_at": time.time(),
+                                    "total_rows": doc.get("total_rows")})
+            return doc
         if os.path.exists(commit_marker):
             # committed, but the manifest was archived by a later
             # compaction (which also erased the job-prefixed filenames) —
             # without this durable marker the replay would re-append the
             # batch permanently (round-4 review finding #1)
-            archived = os.path.join(root, "_manifests", "archived",
-                                    f"manifest-{job_id}.json")
             if os.path.exists(archived):
                 with open(archived) as f:
                     return json.load(f)
             with open(commit_marker) as f:
                 return json.load(f)
+        if os.path.exists(archived):
+            # marker missing AND live manifest gone, but the archive proves
+            # the append committed before compaction swept it (the
+            # marker-backfill above can only run if a replay happens before
+            # compaction).  Treat as committed and backfill the marker.
+            with open(archived) as f:
+                doc = json.load(f)
+            _write_json_atomic(commit_marker,
+                               {"job_id": job_id, "committed_at": time.time(),
+                                "total_rows": doc.get("total_rows")})
+            return doc
         _heal_staged(root, job_id)
     # persist the batch FIRST so both consumers below (the partitioned write
     # and the manifest aggregation) resolve to the same cached subtree and

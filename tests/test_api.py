@@ -463,6 +463,10 @@ def test_composite_keyset_paging_with_sortby(spark, occ):
     with pytest.raises(API.QueryError, match="after_values"):
         API.items(occ, limit=10, after_id="x", after_values=[],
                   sortby=[("Kunta", "+")])
+    # round-4 ADVICE: after_values WITHOUT sortby must be refused too —
+    # silently ignoring the cursor values mis-pages the caller
+    with pytest.raises(API.QueryError, match="after_values requires sortby"):
+        API.items(occ, limit=10, after_id="x", after_values=["Espoo"])
 
 
 def test_composite_keyset_property_random_orderings(spark):

@@ -505,6 +505,36 @@ def test_connected_components_pointer_jumping_rounds(spark):
     assert out._cc_rounds <= 9, out._cc_rounds
 
 
+def test_connected_components_no_session_conf_mutation(spark, monkeypatch):
+    """Round-4 verdict #4: the iteration must size its shuffles with
+    explicit repartitioning, never by mutating session-global
+    spark.sql.shuffle.partitions — a concurrent query planned on a shared
+    session would silently compile with the loop's tiny partition count.
+    Guard: any conf write of that key during the run fails the test; a
+    query planned mid-loop must keep the session's parallelism."""
+    from laji_pygeoapi_spark.operators.dedup import connected_components
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    real_set = spark.conf.set
+
+    def guarded_set(key, value):
+        assert key != "spark.sql.shuffle.partitions", \
+            "connected_components mutated session-global shuffle partitions"
+        real_set(key, value)
+
+    monkeypatch.setattr(spark.conf, "set", guarded_set)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)] + [(i, i + 2) for i in range(0, 38, 2)],
+        "id_a: long, id_b: long")
+    out = connected_components(edges, max_iter=10)
+    assert {r["comp"] for r in out.collect()} == {0}
+    # a "concurrent" query planned right after (same session): its shuffle
+    # must still use the session parallelism
+    q = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert f"hashpartitioning" in plan.lower()
+
+
 def test_ivf_and_ivfpq_incremental_append(spark, tmp_path):
     """Incremental index maintenance: appending a delta batch to a
     persisted IVF (and IVF+PQ) store yields query results identical to a

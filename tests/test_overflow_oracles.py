@@ -42,7 +42,12 @@ def test_contract_ordering_invariants():
     assert sorted(beyond) == sorted(entrymod.OVERFLOW_QUERIES)
     for must in ("tm35fin", "geojson", "multimodal_curation", "redact_pii",
                  "gopher_signals", "decontamination", "mixture_sample",
-                 "dedup_clusters", "paging_keyset", "ivfpq_topk"):
+                 "dedup_clusters", "paging_keyset", "ivfpq_topk",
+                 # round-4 additions rotated in-cap in round 5:
+                 "token_len_quantiles", "knn_join", "domain_stats",
+                 "gapfill_hourly", "interval_join",
+                 # round-5 addition (newest op in-cap per policy):
+                 "semantic_dedup"):
         assert must in in_cap, f"{must} overflowed the driver cap"
     oracles = entrymod.oracle_sql()
     for name in entrymod.OVERFLOW_QUERIES:

@@ -285,6 +285,7 @@ def test_knn_table_join_exact_both_branches(spark):
     out = SP.knn_table_join(lefts, pts, k=4, res=6, ring=1,
                             right_id="pid", exclude_self=True)
     rows = out.collect()
+    assert out._knn_metrics["n_fallback"] >= 2  # the two isolated lefts
     got = {}
     for r in rows:
         got.setdefault(r["query_id"], []).append((r["rank"], r["pid"]))
@@ -303,3 +304,61 @@ def test_knn_table_join_exact_both_branches(spark):
         assert mine == expect, (qid, mine, expect)
         n_checked += 1
     assert n_checked == len(got)
+
+
+def test_knn_table_join_autoring_bounds_fallback(spark):
+    """Round-4 verdict #3 / ADVICE: with res=None/ring=None the
+    density-derived sizer must coarsen the cell and widen the ring so the
+    exact-BNL fallback stays a small fraction of lefts on a SPARSE right
+    side (fixed res/ring=1 sent ~all lefts through it), and the result
+    stays exact."""
+    import numpy as np
+    from laji_pygeoapi_spark.kernels import cells as C
+    from laji_pygeoapi_spark.operators import spatial as SP
+    rng = np.random.RandomState(11)
+    # sparse uniform scatter: at the default res most ring-1 covers are empty
+    pts_rows = [(int(i), float(rng.uniform(20.0, 30.0)),
+                 float(rng.uniform(60.0, 68.0))) for i in range(400)]
+    pts = spark.createDataFrame(pts_rows, "pid long, lon double, lat double")
+    lefts = pts.selectExpr("pid as query_id", "lon", "lat").filter("pid % 5 = 0")
+    out = SP.knn_table_join(lefts, pts, k=3, res=None, ring=None,
+                            right_id="pid", exclude_self=True)
+    m = out._knn_metrics
+    assert m["res"] < SP.DEFAULT_HEX_RES, "sparse right side must coarsen res"
+    assert m["ring"] > 1, "sparse right side must auto-size beyond ring 1"
+    assert m["n_fallback"] / m["n_left"] < 0.05, m
+    # exactness spot-check against the numpy full rank
+    rows = out.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["pid"]))
+    ids = np.array([p[0] for p in pts_rows])
+    lons = np.array([p[1] for p in pts_rows])
+    lats = np.array([p[2] for p in pts_rows])
+    for qid, qlon, qlat in pts_rows[:50]:
+        if qid % 5:
+            continue
+        d = C.haversine_m(qlon, qlat, lons, lats)
+        order = sorted((float(d[j]), int(ids[j])) for j in range(len(ids))
+                       if ids[j] != qid)
+        expect = [pid for _dist, pid in order[:3]]
+        assert [pid for _rk, pid in sorted(got[qid])] == expect, qid
+    for c in getattr(out, "_cached_deps", []):
+        c.unpersist()
+
+
+def test_knn_table_join_fallback_cap_raises(spark):
+    """Above max_fallback_rows the join must refuse to broadcast an
+    unbounded left set into the nested-loop scan (round-4 ADVICE)."""
+    import numpy as np
+    import pytest
+    from laji_pygeoapi_spark.operators import spatial as SP
+    rng = np.random.RandomState(5)
+    pts_rows = [(int(i), float(rng.uniform(20.0, 30.0)),
+                 float(rng.uniform(60.0, 68.0))) for i in range(300)]
+    pts = spark.createDataFrame(pts_rows, "pid long, lon double, lat double")
+    lefts = pts.selectExpr("pid as query_id", "lon", "lat")
+    with pytest.raises(ValueError, match="nested-loop"):
+        SP.knn_table_join(lefts, pts, k=3, res=7, ring=1,
+                          right_id="pid", exclude_self=True,
+                          max_fallback_rows=10)

@@ -634,6 +634,37 @@ def test_staged_append_replay_after_compaction(spark, root):
     assert store.count_from_manifest(root) == 150
 
 
+def test_staged_append_crash_between_manifest_and_marker(spark, root):
+    """Round-4 ADVICE (medium): the staged commit is two writes — manifest
+    then _commits marker.  A crash BETWEEN them leaves a committed append
+    with no marker; if compaction then archives the manifest, a replay that
+    finds neither must consult _manifests/archived/ (and backfill the
+    marker) instead of re-appending the batch permanently."""
+    imgs = ING.ingest_fused(fixtures.images_df(spark, 120, with_bytes=False))
+    store.write_partitioned(imgs, root, "m0", staged=True)
+    marker = os.path.join(root, "_commits", "m0.json")
+
+    # window A: replay happens BEFORE compaction — manifest-exists branch
+    # must backfill the missing marker (self-heal), not just return
+    os.remove(marker)
+    doc = store.write_partitioned(imgs, root, "m0", staged=True)
+    assert doc["total_rows"] == 120
+    assert os.path.exists(marker), "manifest-exists replay must backfill marker"
+    assert store.read_table(spark, root).count() == 120
+
+    # window B: crash between the writes and NO replay before compaction —
+    # the archived manifest is the only committed-proof left
+    os.remove(marker)
+    store.compact_store(spark, root, "c1")
+    assert not os.path.exists(os.path.join(root, "_manifests",
+                                           "manifest-m0.json"))
+    doc = store.write_partitioned(imgs, root, "m0", staged=True)
+    assert doc["total_rows"] == 120
+    assert store.read_table(spark, root).count() == 120  # not 240
+    assert store.count_from_manifest(root) == 120
+    assert os.path.exists(marker), "archived-manifest replay must backfill marker"
+
+
 def test_quantile_store_replay_after_compaction(spark, tmp_path):
     """Round-4 review finding #2: a batch folded into a compacted delta
     must be skipped on replay (the supersession list is the commit
@@ -654,3 +685,29 @@ def test_quantile_store_replay_after_compaction(spark, tmp_path):
     # empty store: clear error, not IndexError
     with pytest.raises(FileNotFoundError, match="no quantile deltas"):
         SK.read_quantile_store(spark, str(tmp_path / "missing"))
+
+
+def test_quantile_store_skips_torn_delta(spark, tmp_path):
+    """Round-4 ADVICE: a crashed update that is never replayed leaves a
+    delta without _SUCCESS; the reader must skip it (its partial part-files
+    would silently under-count) and compaction must sweep it."""
+    import pyspark.sql.functions as F
+    from laji_pygeoapi_spark.operators import sketch as SK
+    root = str(tmp_path / "q")
+    df = spark.range(2000).select((F.col("id") * 17 % 5000).alias("v"))
+    SK.update_quantile_store(spark, df, root, "v", batch_id=0)
+    want = {r["q"]: r["est"] for r in SK.read_quantile_store(spark, root).collect()}
+    # simulate a torn write: part-files present, _SUCCESS never landed
+    torn = os.path.join(root, "delta-99")
+    os.makedirs(torn)
+    import shutil
+    src = os.path.join(root, "delta-0")
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src, f), os.path.join(torn, f))
+    got = {r["q"]: r["est"] for r in SK.read_quantile_store(spark, root).collect()}
+    assert got == want, "torn delta must not contribute to the merge"
+    SK.compact_quantile_store(spark, root)
+    assert not os.path.isdir(torn), "compaction must sweep the torn delta"
+    got = {r["q"]: r["est"] for r in SK.read_quantile_store(spark, root).collect()}
+    assert got == want
