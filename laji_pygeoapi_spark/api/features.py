@@ -487,10 +487,14 @@ def get_feature(df: DataFrame, identifier: str,
     return df.filter(pred(df))
 
 
-def to_geojson(df: DataFrame, id_col: str = "Paikallinen_tunniste",
+def to_geojson(df: DataFrame, id_col: str | None = None,
                crs: str = "CRS84", representation: str = "center",
                skip_geometry: bool = False) -> DataFrame:
     """S10 — GeoJSON feature strings.
+
+    ``id_col=None`` auto-detects the feature id the same way paging does
+    (occurrence ``Paikallinen_tunniste``, store ``image_id``, corpus
+    ``doc_id``) so the sink works on any of the engine's table shapes.
 
     representation='center' (the reference's CENTER_POINT default,
     ``lajiapi_provider.py:73,151``): Point geometry from the stored
@@ -502,6 +506,8 @@ def to_geojson(df: DataFrame, id_col: str = "Paikallinen_tunniste",
     pandas UDF (lines/polygons/multis round-trip intact), with coordinates
     transformed to TM35FIN for crs='EPSG:3067'.  Unknown crs raises.
     """
+    if id_col is None:
+        id_col = _id_column(df)
     if crs not in ("CRS84", "EPSG:4326", "OGC:CRS84", "EPSG:3067"):
         # silent 4326 passthrough on an unknown crs was a wrong-answer risk
         # (round-2 verdict #4); the reference's provider config lists

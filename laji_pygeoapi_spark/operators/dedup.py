@@ -634,6 +634,61 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         pass
 
 
+def connected_components_incremental(old_labels: DataFrame,
+                                     new_edges: DataFrame,
+                                     id_a: str = "id_a", id_b: str = "id_b",
+                                     vertices: DataFrame | None = None,
+                                     max_iter: int = 20) -> DataFrame:
+    """Fold a DELTA edge batch into existing ``(id, comp)`` labels without
+    re-clustering the whole corpus — the nightly-increment path a 100-TB
+    near-dup pipeline actually runs (full :func:`connected_components`
+    over a trillion-edge history per day is not a plan).
+
+    Only components TOUCHED by a new-edge endpoint are re-clustered:
+
+    1. touched vertices = delta endpoints (plus optional new isolated
+       ``vertices``);
+    2. affected components = old components containing a touched vertex —
+       one semi-join against the label table;
+    3. every affected component collapses to STAR EDGES ``(id, comp)``:
+       comp is itself a member vertex, so the star preserves the
+       component's connectivity and its min-id exactly, in O(|members|)
+       edges regardless of the original edge count;
+    4. :func:`connected_components` runs over delta edges + star edges
+       only — work scales with the delta neighborhood, not the corpus;
+    5. untouched labels pass through by anti-join, byte-identical.
+
+    Equivalence ``incremental(CC(E1), E2) == CC(E1 ∪ E2)`` holds because
+    within each old component the star edges generate the same partition
+    of vertices as the original edges, and components untouched by E2
+    cannot change.  (Merges only — edge DELETION splits components and
+    requires re-clustering the affected components from raw edges.)
+    Returns (id, comp), comp = min vertex id, same contract as the full
+    run.
+    """
+    delta = new_edges.select(F.col(id_a).alias("id_a"),
+                             F.col(id_b).alias("id_b"))
+    touched = (delta.select(F.col("id_a").alias("id"))
+                    .unionByName(delta.select(F.col("id_b").alias("id"))))
+    if vertices is not None:
+        vcol = vertices.columns[0]
+        touched = touched.unionByName(vertices.select(F.col(vcol).alias("id")))
+    touched = touched.distinct()
+    affected_comps = (old_labels.join(touched, "id", "left_semi")
+                                .select("comp").distinct())
+    affected = old_labels.join(affected_comps, "comp", "left_semi").persist()
+    star = (affected.filter(F.col("id") != F.col("comp"))
+                    .select(F.col("id").alias("id_a"),
+                            F.col("comp").alias("id_b")))
+    verts = touched.unionByName(affected.select("id")).distinct()
+    sub = connected_components(delta.unionByName(star),
+                               vertices=verts, max_iter=max_iter)
+    untouched = old_labels.join(affected_comps, "comp", "left_anti")
+    out = untouched.unionByName(sub.select("id", "comp"))
+    out._cached_deps = [affected]
+    return out
+
+
 def ngram_overlap_split(df: DataFrame, bench_pred, n: int = 8,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """:func:`ngram_overlap` for the common case where the benchmark is a

@@ -15,7 +15,8 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "laji-pygeoapi-spark", master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
@@ -35,4 +36,6 @@ def get_spark(app: str = "laji-pygeoapi-spark", master: str | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, str(v))
     return builder.getOrCreate()

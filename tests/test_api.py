@@ -507,3 +507,17 @@ def test_composite_keyset_property_random_orderings(spark):
             cur_id = got[-1][0]
             cur_vals = [got[-1][c] for c in cols]
         assert via_keyset == via_offset, (trial, sortby)
+
+
+def test_to_geojson_autodetects_image_table_id(spark):
+    """The GeoJSON sink must work on the images-store schema without an
+    explicit id_col (drive-found: the occurrence default column broke
+    ingest -> items -> to_geojson on the image table)."""
+    import json
+    from laji_pygeoapi_spark.sources import fixtures
+    df = fixtures.images_df(spark, 20, with_bytes=False)
+    rows = API.to_geojson(df.limit(3)).collect()
+    assert all(r["fid"].startswith("IMG_") for r in rows)
+    f = json.loads(rows[0]["feature_json"])
+    assert f["type"] == "Feature" and f["geometry"]["type"] == "Point"
+    assert f["id"].startswith("IMG_")

@@ -535,6 +535,57 @@ def test_connected_components_no_session_conf_mutation(spark, monkeypatch):
     assert f"hashpartitioning" in plan.lower()
 
 
+def test_connected_components_incremental_equals_rebuild(spark):
+    """Incremental CC (delta edges folded into existing labels via star
+    edges over affected components only) must equal a full re-cluster of
+    the union, on randomized two-batch splits including merges of
+    previously separate components, brand-new vertices, and deltas that
+    touch nothing."""
+    import random
+    from laji_pygeoapi_spark.operators.dedup import (
+        connected_components, connected_components_incremental)
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        all_edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+        all_edges = [(a, b) for a, b in all_edges if a != b]
+        cut = len(all_edges) * 2 // 3
+        e1, e2 = all_edges[:cut], all_edges[cut:]
+        if trial == 2:
+            e2 = [(200, 201), (201, 202)]  # disjoint delta: touches nothing
+        b1 = spark.createDataFrame(e1, "id_a: long, id_b: long")
+        b2 = spark.createDataFrame(e2, "id_a: long, id_b: long")
+        old = connected_components(b1)
+        inc = connected_components_incremental(old, b2)
+        full = connected_components(b1.unionByName(b2))
+        got = {(r["id"], r["comp"]) for r in inc.collect()}
+        want = {(r["id"], r["comp"]) for r in full.collect()}
+        assert got == want, (trial, got ^ want)
+        for c in getattr(inc, "_cached_deps", []):
+            c.unpersist()
+
+
+def test_connected_components_incremental_scopes_work(spark):
+    """The re-cluster must be scoped to the delta's neighborhood: with a
+    delta touching one small component, the affected label set handed to
+    the sub-cluster is that component only, not the corpus."""
+    from laji_pygeoapi_spark.operators.dedup import (
+        connected_components, connected_components_incremental)
+    # 10 separate 5-cliques (chains): components 0-4, 5-9, ...
+    edges = [(base + i, base + i + 1) for base in range(0, 50, 5)
+             for i in range(4)]
+    b1 = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    old = connected_components(b1)
+    delta = spark.createDataFrame([(2, 100)], "id_a: long, id_b: long")
+    inc = connected_components_incremental(old, delta)
+    affected = inc._cached_deps[0]
+    assert affected.count() == 5  # one chain, not all 50 vertices
+    got = {r["id"]: r["comp"] for r in inc.collect()}
+    assert got[100] == 0 and got[4] == 0 and got[5] == 5
+    for c in inc._cached_deps:
+        c.unpersist()
+
+
 def test_ivf_and_ivfpq_incremental_append(spark, tmp_path):
     """Incremental index maintenance: appending a delta batch to a
     persisted IVF (and IVF+PQ) store yields query results identical to a
