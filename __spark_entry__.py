@@ -858,14 +858,24 @@ def q_decontamination(spark, sf_dir):
     the engine joins 64-bit gram hashes (broadcast), the oracle joins the
     raw strings — agreement validates the hash path too."""
     docs = _tbl(spark, sf_dir, "documents")
-    b0 = docs.filter(F.col("doc_id") == 0).select("text").first()["text"]
-    b97 = docs.filter(F.col("doc_id") == 97).select("text").first()["text"]
+    seeds = {r["doc_id"]: r["text"]
+             for r in (docs.filter(F.col("doc_id").isin(0, 97))
+                           .select("doc_id", "text").collect())}
     did = F.col("doc_id")
     t = F.concat(F.col("text"),
-                 F.when(did % 13 == 0, F.concat(F.lit(" "), F.lit(b0))).otherwise(F.lit("")),
-                 F.when(did % 17 == 0, F.concat(F.lit(" "), F.lit(b97))).otherwise(F.lit("")))
+                 F.when(did % 13 == 0,
+                        F.concat(F.lit(" "), F.lit(seeds[0]))).otherwise(F.lit("")),
+                 F.when(did % 17 == 0,
+                        F.concat(F.lit(" "), F.lit(seeds[97]))).otherwise(F.lit("")))
     seeded = docs.withColumn("text", t)
-    return DD.ngram_overlap_split(seeded, (F.col("doc_id") % 97) == 0, n=8)
+    # Unfused two-sided form: the round-5 interleaved A/B (BENCH.md) showed
+    # the persisted one-scan fusion LOSES under honest cache-released
+    # timing (persisting 100% of exploded grams to save re-tokenizing the
+    # 1% bench side), and at corpus scale materializing every 8-gram is a
+    # memory non-starter — the streaming broadcast-semi form is the design.
+    bench = seeded.filter((F.col("doc_id") % 97) == 0)
+    train = seeded.filter((F.col("doc_id") % 97) != 0)
+    return DD.ngram_overlap(train, bench, n=8)
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -1028,6 +1038,53 @@ def q_sessions(spark, sf_dir):
     return sessionize_batch(ev)
 
 
+def q_dup_gram_fraction(spark, sf_dir):
+    """Duplicate-n-gram fraction (dedup.dup_gram_fraction): the FineWeb /
+    RefinedWeb boilerplate signal — share of each doc's distinct 3-grams
+    occurring in >=2 distinct docs corpus-wide.  n=3 because the synthetic
+    vocab makes 5-gram collisions vanishingly rare (all-zero signal);
+    3-grams give a non-trivial mixed distribution.  The engine joins on
+    64-bit gram hashes (one reused exchange); the oracle joins raw gram
+    strings — agreement validates the hash path."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return DD.dup_gram_fraction(docs, n=3, min_df=2)
+
+
+def q_shard_assign(spark, sf_dir):
+    """Deterministic training shards (plans.curation.assign_shards):
+    hash-uniform shard + exact within-shard rank in (hash, id) order, the
+    resume-safe epoch layout.  Pure-integer Knuth key so both engines
+    compute identical hashes; rank ties broken by doc_id."""
+    from laji_pygeoapi_spark.plans.curation import assign_shards
+    docs = _tbl(spark, sf_dir, "documents")
+    return assign_shards(docs, n_shards=8).select("doc_id", "shard", "pos")
+
+
+def q_adaptive_cells(spark, sf_dir):
+    """Adaptive cell splitting (plans.ingest.adaptive_cells — north rule):
+    base-res hex cells whose row count exceeds the density threshold are
+    re-keyed two resolutions finer so per-cell groups stay bounded (the
+    Helsinki-hotspot skew defense, made oracle-checkable).  Base res 2 /
+    fine res 4 because the synthetic points are near-uniform over the
+    Finland bbox — res 2 is where cells are dense enough (max ~29 at
+    sf0.01) for the threshold to split some but not all.  The oracle
+    recomputes BOTH resolutions' full axial-rounding chains in SQL plus
+    the count-threshold reroute."""
+    from laji_pygeoapi_spark.plans.ingest import adaptive_cells
+    pts = _points(spark, sf_dir)
+    d = (pts.withColumn("cell_r2", SP.hex_cell_udf(2)(F.col("lon"), F.col("lat")))
+            .withColumn("cell_r4", SP.hex_cell_udf(4)(F.col("lon"), F.col("lat"))))
+    out = adaptive_cells(d, base_res=2, fine_res=4,
+                         dense_threshold=_ADAPTIVE_THRESHOLD)
+    return (out.groupBy("cell_adaptive", "cell_res")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+# base-res cells above this count split to the finer res (both the query
+# and its oracle template this constant; res-2 sf0.01 max cell count ~29)
+_ADAPTIVE_THRESHOLD = 8
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synthesize points at sf0.001, PIP-join municipalities,
     histogram per municipality (the bbox+PIP serving core)."""
@@ -1061,6 +1118,12 @@ OVERFLOW_QUERIES = (
     "intersects",        # same WKB predicate machinery as in-cap bbox_filter/dwithin
     "exact_dedup",       # same rank-1 window path as in-cap dedup_latest;
                          # its normalize+tokenize leg is in-cap via text_profile
+    # round-5 rotation: three stable variants parked for the round-5
+    # additions (dup_gram_fraction, shard_assign, adaptive_cells):
+    "embedding_neardup", # its LSH edge stage runs in-cap inside semantic_dedup
+    "simhash",           # same hamming-banded near-dup family as in-cap
+                         # minhash_pairs / multimodal_curation's phash leg
+    "hourly_rollup",     # re-executed in full inside in-cap gapfill_hourly
 )
 
 
@@ -1085,16 +1148,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multivalue_map": q_multivalue_map,
         "toplog": q_toplog,
         "paging_keyset": q_paging_keyset,
-        "embedding_neardup": q_embedding_neardup,
         "semantic_dedup": q_semantic_dedup,
         "minhash_pairs": q_minhash_pairs,
-        "simhash": q_simhash,
         "brute_topk": q_brute_topk,
         "ann_topk": q_ann_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "centroid_rank": q_centroid_rank,
         "text_profile": q_text_profile,
-        "hourly_rollup": q_hourly_rollup,
         "hll_distinct": q_hll_distinct,
         "cms_freq": q_cms_freq,
         "range_join": q_range_join,
@@ -1117,6 +1177,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "gapfill_hourly": q_gapfill_hourly,
         "interval_join": q_interval_join,
+        # round-5 additions (newest-risk in-cap per the policy above):
+        "dup_gram_fraction": q_dup_gram_fraction,
+        "shard_assign": q_shard_assign,
+        "adaptive_cells": q_adaptive_cells,
         # ---- beyond DRIVER_CAP: near-duplicate variants (see above) ----
         "count_preflight": q_count_preflight,
         "pip_distributed": q_pip_distributed,
@@ -1131,7 +1195,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_pairs": q_phash_pairs,
         "intersects": q_intersects,
         "exact_dedup": q_exact_dedup,
+        "embedding_neardup": q_embedding_neardup,
+        "simhash": q_simhash,
+        "hourly_rollup": q_hourly_rollup,
     }
+
+
+def _hex_chain_sql(res: int, tag: str) -> str:
+    """CTE chain computing (doc_id, cell) from the ``pts`` CTE at hex
+    resolution ``res`` — the same rotation + axial-rounding + bit-packing
+    as kernels/cells.py, templated per resolution so multi-res oracles
+    (adaptive_cells) reuse one construction.  Chain output CTE: cell{tag}."""
+    from laji_pygeoapi_spark.kernels import cells as _cells
+    c, s = (repr(v) for v in _cells._rot(res))
+    sz = f"(11.0 / power(sqrt(7.0), {res}))"
+    return f"""rot{tag} AS (
+              SELECT doc_id, ({c}) * lon + ({s}) * lat AS gx,
+                     -({s}) * lon + ({c}) * lat AS gy FROM pts),
+            ax{tag} AS (
+              SELECT doc_id, (sqrt(3.0)/3.0 * gx - 1.0/3.0 * gy) / {sz} AS x,
+                     (2.0/3.0 * gy) / {sz} AS z FROM rot{tag}),
+            r0{tag} AS (
+              SELECT doc_id, x, z, -x - z AS y,
+                     floor(x + 0.5) AS rx, floor(-x - z + 0.5) AS ry,
+                     floor(z + 0.5) AS rz FROM ax{tag}),
+            fx{tag} AS (
+              SELECT doc_id,
+                     CASE WHEN abs(rx-x) > abs(ry-y) AND abs(rx-x) > abs(rz-z)
+                          THEN -ry - rz ELSE rx END AS q1,
+                     CASE WHEN NOT (abs(rx-x) > abs(ry-y) AND abs(rx-x) > abs(rz-z))
+                               AND abs(rz-z) > abs(ry-y)
+                          THEN -rx - ry ELSE rz END AS r1
+              FROM r0{tag}),
+            cell{tag} AS (
+              SELECT doc_id, ((CAST({res} AS BIGINT) << 56)
+                     | ((CAST(q1 AS BIGINT) + 33554432) << 28)
+                     | (CAST(r1 AS BIGINT) + 33554432)) AS cell FROM fx{tag})"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2196,5 +2295,49 @@ def oracle_sql() -> dict[str, str]:
                         * (CAST(1 AS BIGINT) << CAST((bucket - 32) // 32 AS INT))
               END AS BIGINT) AS est
             FROM pick
+        """,
+        "dup_gram_fraction": """
+            WITH tok AS (SELECT doc_id, __TOK__ AS t FROM documents),
+            g0 AS (SELECT doc_id, unnest(list_distinct(
+                     CASE WHEN len(t) >= 3 THEN list_transform(
+                            range(1, len(t) - 1),
+                            i -> array_to_string(t[i:i+2], ' '))
+                          ELSE [array_to_string(t, ' ')] END)) AS g
+                   FROM tok),
+            gg AS (SELECT doc_id, g FROM g0 WHERE g <> ''),
+            dfc AS (SELECT g, count(DISTINCT doc_id) AS df FROM gg GROUP BY 1),
+            per AS (SELECT doc_id,
+                           CAST(count(*) AS BIGINT) AS n_grams,
+                           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_dup
+                    FROM gg JOIN dfc USING (g) GROUP BY doc_id)
+            SELECT doc_id, n_grams, n_dup,
+                   round(n_dup * 1.0 / n_grams, 6) AS dup_frac
+            FROM per
+        """.replace("__TOK__", _TOKENS_SQL),
+        "shard_assign": """
+            WITH k AS (SELECT doc_id,
+                              (doc_id * 2654435761) % 1048576 AS key
+                       FROM documents)
+            SELECT doc_id, CAST(key % 8 AS INTEGER) AS shard,
+                   CAST(row_number() OVER (PARTITION BY key % 8
+                                           ORDER BY key, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM k
+        """,
+        "adaptive_cells": f"""
+            WITH {_PTS_CTE},
+            {_hex_chain_sql(2, 'B')},
+            {_hex_chain_sql(4, 'F')},
+            j AS (SELECT a.doc_id, a.cell AS cb, b.cell AS cf
+                  FROM cellB a JOIN cellF b ON a.doc_id = b.doc_id),
+            cnt AS (SELECT cb, count(*) AS n FROM j GROUP BY 1),
+            adapt AS (SELECT CASE WHEN n > {_ADAPTIVE_THRESHOLD}
+                                  THEN j.cf ELSE j.cb END AS cell_adaptive,
+                             CAST(CASE WHEN n > {_ADAPTIVE_THRESHOLD}
+                                       THEN 4 ELSE 2 END AS INTEGER) AS cell_res
+                      FROM j JOIN cnt ON j.cb = cnt.cb)
+            SELECT cell_adaptive, cell_res, count(*) AS cnt
+            FROM adapt GROUP BY 1, 2
         """,
     }

@@ -526,6 +526,39 @@ def ngram_overlap(docs: DataFrame, benchmark: DataFrame, n: int = 8,
                 .agg(F.countDistinct("gh").alias("n_overlaps")))
 
 
+def dup_gram_fraction(docs: DataFrame, n: int = 5, min_df: int = 2,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document DUPLICATE-n-GRAM FRACTION (the FineWeb / RefinedWeb
+    repetition-quality signal): the share of a doc's distinct word
+    ``n``-grams that also occur in at least ``min_df`` distinct documents
+    corpus-wide.  High values mark boilerplate / templated pages that
+    exact and MinHash dedup both miss (no single near-duplicate partner —
+    the duplication is spread across thousands of docs).
+
+    Scale shape: ONE tokenize pass staged into its own projection, grams
+    exploded to 64-bit hashes; the gram document-frequency agg and the
+    gram-keyed join SHARE the same hash exchange (ReuseExchange — the
+    gram relation shuffles once), then a map-side-combinable per-doc agg.
+    Hot grams (stopword runs) are AQE skew-join territory; nothing is
+    persisted or collected.  Fraction is an exact-integer division
+    rounded to 6 places (cross-engine-stable: same ints -> same double)."""
+    from . import text as TXO
+
+    staged = (docs.select(id_col, text_col)
+                  .withColumn("_toks", TXO.tokenize(F.col(text_col))))
+    g = F.array_distinct(TXO.shingles_from_tokens(F.col("_toks"), n))
+    grams = (staged.select(id_col, F.explode(g).alias("g"))
+                   .filter(F.col("g") != "")
+                   .select(id_col, F.xxhash64("g").alias("gh")))
+    gram_df = grams.groupBy("gh").agg(F.countDistinct(id_col).alias("_df"))
+    joined = grams.join(gram_df, "gh")
+    return (joined.groupBy(id_col)
+                  .agg(F.count(F.lit(1)).alias("n_grams"),
+                       F.sum((F.col("_df") >= min_df).cast("long")).alias("n_dup"))
+                  .withColumn("dup_frac",
+                              F.round(F.col("n_dup") / F.col("n_grams"), 6)))
+
+
 def connected_components(edges: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", vertices: DataFrame | None = None,
                          max_iter: int = 20, jump_after: int = 2) -> DataFrame:
@@ -691,11 +724,15 @@ def connected_components_incremental(old_labels: DataFrame,
 
 def ngram_overlap_split(df: DataFrame, bench_pred, n: int = 8,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """:func:`ngram_overlap` for the common case where the benchmark is a
-    PREDICATE over the same corpus (holdout split): the n-gram projection
-    is computed and cached ONCE and both sides filter it — one tokenize
-    pass instead of two (the same tokenize-once fusion as
-    ``minhash_pairs_verified``)."""
+    """:func:`ngram_overlap` for a benchmark that is a PREDICATE over the
+    same corpus (holdout split): the n-gram projection is computed and
+    cached ONCE and both sides filter it.
+
+    SCOPE (round-5 A/B, BENCH.md): only worth it when the gram projection
+    feeds MULTIPLE consumers — for the single decontamination pass the
+    persist loses ~10-15% at toy scale (it materializes 100% of exploded
+    grams to save re-tokenizing the small bench side) and is a memory
+    non-starter at corpus scale; prefer :func:`ngram_overlap` there."""
     from . import text as TXO
     staged = (df.select(id_col, text_col)
                 .withColumn("_toks", TXO.tokenize(F.col(text_col)))

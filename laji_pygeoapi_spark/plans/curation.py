@@ -180,6 +180,34 @@ def pack_sequences(df: DataFrame, budget: int = 2048,
         F.pmod(cum_excl, F.lit(budget)).cast("long").alias("bin_offset")))
 
 
+def assign_shards(df: DataFrame, n_shards: int = 8,
+                  id_col: str = "doc_id", key=None) -> DataFrame:
+    """Deterministic TRAINING-SHARD assignment: every doc gets a
+    ``shard`` (hash-uniform over ``n_shards``) and a ``pos`` — its
+    0-indexed rank within the shard in (hash, id) order — so a training
+    job can stream shard files in a reproducible pseudo-random order and
+    seek to any position (resume mid-epoch without re-shuffling).
+
+    Scale shape: ONE shuffle keyed on ``shard``.  Shards are file-sized
+    by construction (pick ``n_shards`` ≈ corpus_bytes / target_file_size,
+    i.e. thousands at 100 TB), so the per-shard rank window is one
+    bounded task per shard — the same reason shard writers are sized
+    this way everywhere.  For pathologically few/huge shards compose
+    with :func:`pack_sequences`'s bucket prefix-sum instead.  The hash
+    is the Knuth multiplicative key both engines compute bit-identically
+    (no xxhash in the oracle's SQL dialect)."""
+    k = key if key is not None else F.pmod(F.col(id_col) * F.lit(2654435761),
+                                           F.lit(1 << 20))
+    out = (df.withColumn("_key", k)
+             .withColumn("shard", F.pmod(F.col("_key"),
+                                         F.lit(n_shards)).cast("int")))
+    w = Window.partitionBy("shard").orderBy(F.col("_key").asc(),
+                                            F.col(id_col).asc())
+    return (out.withColumn("pos",
+                           (F.row_number().over(w) - 1).cast("long"))
+               .drop("_key"))
+
+
 def temperature_sample(df: DataFrame, target: int, alpha: float = 0.5,
                        strata_col: str = "source", id_col: str = "doc_id",
                        key=None) -> DataFrame:

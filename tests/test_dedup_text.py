@@ -678,3 +678,37 @@ def test_ivf_append_exactly_once_replay(spark, tmp_path):
     got = [r["vec_id"] for r in
            SIM.ivf_topk_stored(spark, root, codebook, q, k=8, nprobe=2).collect()]
     assert len(got) == len(set(got)) == 8  # no duplicate ids from replays
+
+
+def test_dup_gram_fraction_planted_boilerplate(spark):
+    """Docs sharing a planted 3-gram template score high dup_frac; a doc of
+    unique words scores 0; counts are exact."""
+    tpl = "click here to subscribe now"
+    rows = [(i, f"{tpl} unique{i} words{i} only{i}") for i in range(4)]
+    rows.append((9, "zebra quartz violin xylophone"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in DD.dup_gram_fraction(df, n=3, min_df=2).collect()}
+    # template docs: tokens = 5 shared + 3 unique -> 8 tokens, 6 grams;
+    # the 3 grams fully inside the template are shared by all 4 docs
+    for i in range(4):
+        assert out[i]["n_grams"] == 6
+        assert out[i]["n_dup"] == 3
+        assert abs(out[i]["dup_frac"] - 0.5) < 1e-9
+    assert out[9]["n_dup"] == 0 and out[9]["dup_frac"] == 0.0
+
+
+def test_assign_shards_deterministic_and_dense(spark):
+    """Shards are hash-stable, pos is a dense 0..k-1 sequence per shard,
+    and the layout is identical across runs (resume safety)."""
+    from laji_pygeoapi_spark.plans.curation import assign_shards
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = assign_shards(df, n_shards=4).orderBy("shard", "pos").collect()
+    b = assign_shards(df, n_shards=4).orderBy("shard", "pos").collect()
+    assert [(r["doc_id"], r["shard"], r["pos"]) for r in a] == \
+           [(r["doc_id"], r["shard"], r["pos"]) for r in b]
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, poss in by_shard.items():
+        assert poss == list(range(len(poss)))  # dense, 0-indexed, ordered

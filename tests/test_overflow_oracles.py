@@ -46,8 +46,9 @@ def test_contract_ordering_invariants():
                  # round-4 additions rotated in-cap in round 5:
                  "token_len_quantiles", "knn_join", "domain_stats",
                  "gapfill_hourly", "interval_join",
-                 # round-5 addition (newest op in-cap per policy):
-                 "semantic_dedup"):
+                 # round-5 additions (newest ops in-cap per policy):
+                 "semantic_dedup", "dup_gram_fraction", "shard_assign",
+                 "adaptive_cells"):
         assert must in in_cap, f"{must} overflowed the driver cap"
     oracles = entrymod.oracle_sql()
     for name in entrymod.OVERFLOW_QUERIES:
