@@ -38,6 +38,7 @@ HEADLINE = [
     "asof_join", "range_join", "ivfpq_topk", "curation",
     "multimodal_curation", "token_len_quantiles", "knn_join",
     "domain_stats", "gapfill_hourly", "interval_join", "semantic_dedup",
+    "dup_gram_fraction", "shard_assign", "adaptive_cells",
 ]
 
 

@@ -16,6 +16,8 @@ All signature computation is vectorized numpy inside Arrow pandas UDFs.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -509,18 +511,60 @@ def ngram_overlap(docs: DataFrame, benchmark: DataFrame, n: int = 8,
     shuffle (the per-doc count), no benchmark rescans.  String-collision
     risk is 2^-64 per pair (the DuckDB oracle joins the raw strings —
     agreement also validates the hash path)."""
-    from . import text as TXO
+    bench_hashes = (_bench_grams(benchmark, n, text_col, id_col)
+                    .select(F.xxhash64("g").alias("gh")).distinct())
+    doc_grams = (_bench_grams(docs, n, text_col, id_col)
+                 .withColumn("gh", F.xxhash64("g")))
+    hits = doc_grams.join(F.broadcast(bench_hashes), "gh")
+    return (hits.groupBy(id_col)
+                .agg(F.countDistinct("gh").alias("n_overlaps")))
 
-    def grams(df):
-        staged = (df.select(id_col, text_col)
-                    .withColumn("_toks", TXO.tokenize(F.col(text_col))))
-        g = F.array_distinct(TXO.shingles_from_tokens(F.col("_toks"), n))
-        ex = staged.select(id_col, F.explode(g).alias("g"))
-        return ex.filter(F.col("g") != "")
 
-    bench_hashes = (grams(benchmark).select(F.xxhash64("g").alias("gh"))
-                    .distinct())
-    doc_grams = grams(docs).withColumn("gh", F.xxhash64("g"))
+def _bench_grams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """Distinct per-doc word n-grams of ``df`` as (id, g) rows."""
+    staged = (df.select(id_col, text_col)
+                .withColumn("_toks", TX.tokenize(F.col(text_col))))
+    g = F.array_distinct(TX.shingles_from_tokens(F.col("_toks"), n))
+    return (staged.select(id_col, F.explode(g).alias("g"))
+                  .filter(F.col("g") != ""))
+
+
+def write_gram_store(benchmark: DataFrame, root: str, n: int = 8,
+                     text_col: str = "text", id_col: str = "doc_id") -> dict:
+    """Persist a benchmark's distinct n-gram HASHES as a small parquet
+    store + manifest — the at-scale decontamination shape: evaluation
+    sets are FIXED while the corpus streams, so the benchmark tokenize +
+    gram build runs ONCE at store-build time, and every corpus batch/run
+    after that only scans the pre-distinct 8-byte hashes (broadcastable
+    by construction — eval sets are thousands of docs, not billions)."""
+    import json
+    import time
+
+    hashes = (_bench_grams(benchmark, n, text_col, id_col)
+              .select(F.xxhash64("g").alias("gh")).distinct())
+    hashes.coalesce(8).write.mode("overwrite").parquet(root)
+    n_grams = benchmark.sparkSession.read.parquet(root).count()
+    doc = {"n": n, "n_grams": n_grams, "created": time.time()}
+    with open(os.path.join(root, "_gram_manifest.json"), "w") as f:
+        json.dump(doc, f)
+    return doc
+
+
+def ngram_overlap_stored(spark, docs: DataFrame, store_root: str,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """:func:`ngram_overlap` against a PERSISTED gram store
+    (:func:`write_gram_store`): identical output to the two-sided form
+    on the store's benchmark (parity pytest), but the benchmark side is
+    a bare scan of pre-distinct hashes — no per-run benchmark tokenize.
+    ``n`` comes from the store manifest so query and index can't drift."""
+    import json
+
+    with open(os.path.join(store_root, "_gram_manifest.json")) as f:
+        n = json.load(f)["n"]
+    bench_hashes = spark.read.parquet(store_root)
+    doc_grams = (_bench_grams(docs, n, text_col, id_col)
+                 .select(id_col, F.xxhash64("g").alias("gh")))
     hits = doc_grams.join(F.broadcast(bench_hashes), "gh")
     return (hits.groupBy(id_col)
                 .agg(F.countDistinct("gh").alias("n_overlaps")))

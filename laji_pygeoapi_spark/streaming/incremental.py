@@ -121,6 +121,39 @@ def stream_quantiles(spark: SparkSession, source_dir: str, store_root: str,
            .awaitTermination())
 
 
+def stream_decontaminate(spark: SparkSession, source_dir: str,
+                         gram_store: str, out_root: str, schema,
+                         checkpoint_dir: str | None = None) -> None:
+    """Streaming benchmark decontamination — the at-scale shape of the
+    hygiene pass: the EVAL SET is fixed (its distinct gram hashes persist
+    once via ``dedup.write_gram_store``) while the corpus STREAMS.  Each
+    micro-batch broadcast-semi-joins the store's pre-distinct hashes (no
+    benchmark tokenize per batch, no state store — the join side is a
+    static tiny scan) and appends its flagged ``(doc_id, n_overlaps)``
+    rows EXACTLY-ONCE via the staged append protocol (a foreachBatch
+    replay of a committed batch is a no-op; a half-published one heals).
+    Batch parity: union of all batches == ``ngram_overlap`` over the
+    concatenated corpus, because per-doc gram counting never crosses
+    documents (pytest-gated)."""
+    from ..operators import dedup as DD
+    checkpoint_dir = checkpoint_dir or os.path.join(out_root,
+                                                    "_stream_checkpoint")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 64)
+              .parquet(source_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = DD.ngram_overlap_stored(spark, batch_df, gram_store)
+        store.write_partitioned(flagged, out_root, f"decon-{batch_id}",
+                                staged=True)
+
+    (stream.writeStream.foreachBatch(process_batch)
+           .option("checkpointLocation", checkpoint_dir)
+           .trigger(availableNow=True)
+           .start()
+           .awaitTermination())
+
+
 def stream_sketch(spark: SparkSession, source_dir: str, sketch_root: str,
                   key_col: str, group_cols=(), p: int = 8,
                   schema=None, checkpoint_dir: str | None = None) -> None:

@@ -712,3 +712,44 @@ def test_assign_shards_deterministic_and_dense(spark):
     assert set(by_shard) == {0, 1, 2, 3}
     for shard, poss in by_shard.items():
         assert poss == list(range(len(poss)))  # dense, 0-indexed, ordered
+
+
+def test_gram_store_and_stream_decontaminate(spark, tmp_path):
+    """The persisted benchmark-gram store answers identically to the
+    two-sided ngram_overlap; the availableNow stream over a file corpus
+    produces the same flagged set exactly-once (re-run is a no-op)."""
+    from laji_pygeoapi_spark.streaming.incremental import stream_decontaminate
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant contamination: benchmark doc 0's text appended to every 7th doc
+    b0 = docs.filter(F.col("doc_id") == 0).first()["text"]
+    seeded = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" " + b0)))
+         .otherwise(F.col("text")))
+    bench = seeded.filter(F.col("doc_id") % 19 == 0)
+    train = seeded.filter(F.col("doc_id") % 19 != 0)
+    want = {(r["doc_id"], r["n_overlaps"])
+            for r in DD.ngram_overlap(train, bench, n=8).collect()}
+    assert want, "planted contamination must flag something"
+
+    store_root = str(tmp_path / "grams")
+    man = DD.write_gram_store(bench, store_root, n=8)
+    assert man["n_grams"] > 0
+    got_stored = {(r["doc_id"], r["n_overlaps"])
+                  for r in DD.ngram_overlap_stored(spark, train,
+                                                   store_root).collect()}
+    assert got_stored == want
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "flagged")
+    train.repartition(3).write.mode("overwrite").parquet(src)
+    sch = spark.read.parquet(src).schema
+    from laji_pygeoapi_spark.sources import table as store
+    stream_decontaminate(spark, src, store_root, out, schema=sch)
+    got_stream = {(r["doc_id"], r["n_overlaps"])
+                  for r in store.read_table(spark, out).collect()}
+    assert got_stream == want
+    stream_decontaminate(spark, src, store_root, out, schema=sch)  # replay
+    assert {(r["doc_id"], r["n_overlaps"])
+            for r in store.read_table(spark, out).collect()} == want

@@ -31,6 +31,9 @@ from concurrent.futures import ProcessPoolExecutor
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 ROWS = int(sys.argv[2]) if len(sys.argv) > 2 else 250_000
 WORKLOAD = sys.argv[3] if len(sys.argv) > 3 else "flagship"
+# best-of-REPS per level; large-row legs (e.g. the 1M curation leg, ~25 min
+# per local[1] repetition) pass 2 to stay inside a wall-clock budget
+REPS = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 N4 = 4 * N
 
 
@@ -58,6 +61,7 @@ import json, os, sys, time
 sys.path.insert(0, "/root/repo")
 cpus = sys.argv[1]
 rows = int(sys.argv[2])
+reps = int(sys.argv[3])
 os.environ["SPARK_GRAFT_CPUS"] = cpus
 from laji_pygeoapi_spark.session import get_spark
 from pyspark.sql import functions as F
@@ -88,7 +92,7 @@ def run_once():
 # warmup on a slice: starts python workers, compiles the plan
 decode_join_tile(img.limit(5000)).write.format("noop").mode("overwrite").save()
 best = None
-for _ in range(3):
+for _ in range(reps):
     t0 = time.time()
     run_once()
     dt = time.time() - t0
@@ -109,6 +113,7 @@ import json, os, sys, time
 sys.path.insert(0, "/root/repo")
 cpus = sys.argv[1]
 rows = int(sys.argv[2])
+reps = int(sys.argv[3])
 os.environ["SPARK_GRAFT_CPUS"] = cpus
 from laji_pygeoapi_spark.session import get_spark
 from pyspark.sql import functions as F
@@ -147,7 +152,7 @@ def run_once():
                          # across repetitions (OOMed the 1M-row leg)
 curate(docs.limit(2000)).write.format("noop").mode("overwrite").save()  # warm
 best = None
-for _ in range(3):
+for _ in range(reps):
     t0 = time.time()
     run_once()
     dt = time.time() - t0
@@ -159,7 +164,8 @@ print(json.dumps({"cpus": int(cpus), "rows": n, "sec": round(best, 3),
 
 def run_level(cpus: int) -> dict:
     worker = WORKER_CURATION if WORKLOAD == "curation" else WORKER
-    out = subprocess.run([sys.executable, "-c", worker, str(cpus), str(ROWS)],
+    out = subprocess.run([sys.executable, "-c", worker, str(cpus), str(ROWS),
+                          str(REPS)],
                          capture_output=True, text=True, check=False)
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
