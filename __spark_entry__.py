@@ -1038,6 +1038,43 @@ def q_sessions(spark, sf_dir):
     return sessionize_batch(ev)
 
 
+def q_top_terms(spark, sf_dir):
+    """Keyword extraction (text.top_terms): per-doc top-3 terms by
+    (tf DESC, df ASC, term ASC) — the TF-IDF ordering on integer keys
+    only, so the rank needs no fp idf to compare cross-engine."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return TX.top_terms(docs, k=3)
+
+
+def q_curation_funnel(spark, sf_dir):
+    """Per-source curation survival report (plans.curation.curation_funnel):
+    counts entering and surviving each stage — lang ID, quality, exact
+    dedup, MinHash near-dup.  Raw synthetic docs never fail quality or
+    exact dedup, so those stages are SEEDED deterministically (every 41st
+    doc becomes one shared template = exact dups; every 23rd an
+    English-marker short string whose quality scores 0.5667 < 0.6) — all
+    four stages provably discriminate at both SFs."""
+    from laji_pygeoapi_spark.plans.curation import curation_funnel
+    docs = _tbl(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = docs.withColumn(
+        "text",
+        F.when(did % 41 == 0, F.lit(_FUNNEL_TPL))
+         .when(did % 23 == 0, F.lit(_FUNNEL_SHORT))
+         .otherwise(F.col("text")))
+    return curation_funnel(seeded, lang="en", min_quality=0.6,
+                           jaccard_threshold=0.7)
+
+
+# funnel seeds: TPL passes lang+quality and collapses under exact dedup
+# (all %41 docs share it); SHORT passes lang (4 en markers) but scores
+# quality (0.3 + 0.4 + 1.0)/3 = 0.5667 < 0.6 (14 chars, 5 tokens -> 2.8
+# chars/token below the [3,12] band)
+_FUNNEL_TPL = ("the quick brown fox and the lazy dog of the market "
+               "went to the north in the morning")
+_FUNNEL_SHORT = "a the of to in"
+
+
 def q_dup_gram_fraction(spark, sf_dir):
     """Duplicate-n-gram fraction (dedup.dup_gram_fraction): the FineWeb /
     RefinedWeb boilerplate signal — share of each doc's distinct 3-grams
@@ -1124,6 +1161,11 @@ OVERFLOW_QUERIES = (
     "simhash",           # same hamming-banded near-dup family as in-cap
                          # minhash_pairs / multimodal_curation's phash leg
     "hourly_rollup",     # re-executed in full inside in-cap gapfill_hourly
+    # parked for top_terms / curation_funnel (round-5 additions):
+    "toplog",            # same global ORDER BY + LIMIT path as in-cap
+                         # centroid_rank / paging_keyset
+    "brute_topk",        # the cosine kernel runs in-cap inside ann_topk /
+                         # ivf_topk / ivfpq_topk / semantic_dedup
 )
 
 
@@ -1146,11 +1188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "presence": q_presence,
         "star_join": q_star_join,
         "multivalue_map": q_multivalue_map,
-        "toplog": q_toplog,
         "paging_keyset": q_paging_keyset,
         "semantic_dedup": q_semantic_dedup,
         "minhash_pairs": q_minhash_pairs,
-        "brute_topk": q_brute_topk,
         "ann_topk": q_ann_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "centroid_rank": q_centroid_rank,
@@ -1181,6 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_gram_fraction": q_dup_gram_fraction,
         "shard_assign": q_shard_assign,
         "adaptive_cells": q_adaptive_cells,
+        "top_terms": q_top_terms,
+        "curation_funnel": q_curation_funnel,
         # ---- beyond DRIVER_CAP: near-duplicate variants (see above) ----
         "count_preflight": q_count_preflight,
         "pip_distributed": q_pip_distributed,
@@ -1198,6 +1240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "simhash": q_simhash,
         "hourly_rollup": q_hourly_rollup,
+        "toplog": q_toplog,
+        "brute_topk": q_brute_topk,
     }
 
 
@@ -1596,6 +1640,59 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id NOT IN (SELECT id_b FROM dups)
           AND doc_id NOT IN (SELECT id_b FROM pdups)
     """)
+    # per-source survival funnel: the SAME stage chain as curation_sql with
+    # `source` carried through, aggregated to per-stage counts
+    funnel_sql = f"""
+        WITH d2 AS (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 41 = 0 THEN '{_FUNNEL_TPL}'
+                      WHEN doc_id % 23 = 0 THEN '{_FUNNEL_SHORT}'
+                      ELSE text END AS text
+          FROM documents),
+        prof AS (
+          SELECT doc_id, source, text, {lang_pred} AS lang_pred,
+                 {ntok} AS n_tokens, {quality} AS quality
+          FROM d2),
+        kept AS (SELECT * FROM prof
+                 WHERE lang_pred = 'en' AND quality >= 0.6),
+        exact AS (SELECT * FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY array_to_string({_TOKENS_SQL}, ' ')
+              ORDER BY doc_id) AS rn
+            FROM kept) WHERE rn = 1),
+        tok2 AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM exact),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                        range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))
+                      ELSE [array_to_string(t, ' ')] END AS s
+               FROM tok2 WHERE len(t) > 0),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        ns AS (SELECT doc_id, len(s) AS n FROM sh),
+        dups AS (SELECT DISTINCT id_b
+                 FROM inter JOIN ns x ON x.doc_id = id_a JOIN ns y ON y.doc_id = id_b
+                 WHERE i * 1.0 / (x.n + y.n - i) >= 0.7),
+        fin AS (SELECT * FROM exact
+                WHERE doc_id NOT IN (SELECT id_b FROM dups)),
+        t AS (SELECT source, count(*) AS n_total FROM prof GROUP BY 1),
+        l AS (SELECT source, count(*) AS n_lang FROM prof
+              WHERE lang_pred = 'en' GROUP BY 1),
+        q AS (SELECT source, count(*) AS n_quality FROM kept GROUP BY 1),
+        e AS (SELECT source, count(*) AS n_exact FROM exact GROUP BY 1),
+        f AS (SELECT source, count(*) AS n_final FROM fin GROUP BY 1)
+        SELECT t.source,
+               CAST(t.n_total AS BIGINT) AS n_total,
+               CAST(coalesce(l.n_lang, 0) AS BIGINT) AS n_lang,
+               CAST(coalesce(q.n_quality, 0) AS BIGINT) AS n_quality,
+               CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact,
+               CAST(coalesce(f.n_final, 0) AS BIGINT) AS n_final
+        FROM t LEFT JOIN l ON t.source = l.source
+               LEFT JOIN q ON t.source = q.source
+               LEFT JOIN e ON t.source = e.source
+               LEFT JOIN f ON t.source = f.source
+    """
     sample_sql = """
         SELECT doc_id, source FROM (
           SELECT doc_id, source, row_number() OVER (
@@ -2296,6 +2393,21 @@ def oracle_sql() -> dict[str, str]:
               END AS BIGINT) AS est
             FROM pick
         """,
+        "curation_funnel": funnel_sql,
+        "top_terms": """
+            WITH tok AS (SELECT doc_id, __TOK__ AS t FROM documents),
+            tm AS (SELECT doc_id, unnest(t) AS term FROM tok),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM tm GROUP BY 1, 2),
+            dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                      FROM tf GROUP BY 1),
+            r AS (SELECT doc_id, term, tf, df,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tf DESC, df ASC, term ASC) AS rn
+                  FROM tf JOIN dfreq USING (term))
+            SELECT doc_id, term, tf, df, CAST(rn AS INTEGER) AS rnk
+            FROM r WHERE rn <= 3
+        """.replace("__TOK__", _TOKENS_SQL),
         "dup_gram_fraction": """
             WITH tok AS (SELECT doc_id, __TOK__ AS t FROM documents),
             g0 AS (SELECT doc_id, unnest(list_distinct(

@@ -39,6 +39,7 @@ HEADLINE = [
     "multimodal_curation", "token_len_quantiles", "knn_join",
     "domain_stats", "gapfill_hourly", "interval_join", "semantic_dedup",
     "dup_gram_fraction", "shard_assign", "adaptive_cells",
+    "top_terms", "curation_funnel",
 ]
 
 

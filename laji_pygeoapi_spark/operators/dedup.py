@@ -603,6 +603,27 @@ def dup_gram_fraction(docs: DataFrame, n: int = 5, min_df: int = 2,
                               F.round(F.col("n_dup") / F.col("n_grams"), 6)))
 
 
+def cluster_representatives(labels: DataFrame, scores: DataFrame,
+                            id_col: str = "doc_id",
+                            comp_col: str = "comp",
+                            score_col: str = "quality") -> DataFrame:
+    """Quality-aware representative per near-dup cluster: production
+    semantic dedup keeps the BEST document of each cluster (highest
+    ``score_col``, ties to lowest id), not the arbitrary lowest-id member
+    — dropping a high-quality original in favor of a mangled near-copy is
+    a real corpus-quality regression.  ``labels`` is connected_components
+    output (id, comp) — the default ``comp_col`` matches it so the
+    composition needs no renaming; ``scores`` any (id, score) frame (e.g.
+    the curation profile).  One window over the component key; missing
+    scores sort last.  Returns one (id, comp, score) row per cluster."""
+    j = labels.select(id_col, comp_col).join(
+        scores.select(id_col, score_col), id_col, "left")
+    w = Window.partitionBy(comp_col).orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc())
+    return (j.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn"))
+
+
 def connected_components(edges: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", vertices: DataFrame | None = None,
                          max_iter: int = 20, jump_after: int = 2) -> DataFrame:

@@ -8,7 +8,7 @@ comparison covers them.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword seeds for the n-gram/stopword heuristic.
@@ -172,6 +172,33 @@ PII_PATTERNS = (
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
     ("phone", r"\+\d[\d ()-]{6,}\d", "[PHONE]"),
 )
+
+
+def top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-document KEYWORD EXTRACTION: the top-``k`` terms ranked by
+    (term frequency DESC, corpus document-frequency ASC, term ASC) — the
+    TF-IDF ordering expressed on INTEGER keys only, so the rank is
+    bit-exact across engines (a float idf = ln(N/df) ranks identically to
+    df ASC for equal tf, but its last-ulp value does not compare
+    reproducibly; CLAUDE.md fp-determinism rule).
+
+    Scale shape: one tokenize pass; per-(doc, term) counts are one
+    map-side-combinable agg; the corpus df table derives FROM the tf
+    relation (no second corpus scan) and joins back term-keyed; the final
+    per-doc top-k is a bounded window.  Returns (id, term, tf, df, rnk)."""
+    staged = (docs.select(id_col, text_col)
+                  .withColumn("_toks", tokenize(F.col(text_col))))
+    terms = staged.select(id_col, F.explode("_toks").alias("term"))
+    tf = (terms.groupBy(id_col, "term")
+               .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    return (tf.join(dfreq, "term")
+              .withColumn("rnk", F.row_number().over(w).cast("int"))
+              .filter(F.col("rnk") <= k)
+              .select(id_col, "term", "tf", "df", "rnk"))
 
 
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:

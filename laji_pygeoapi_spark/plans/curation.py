@@ -72,6 +72,60 @@ def curate(df: DataFrame, lang: str = "en", min_quality: float = 0.6,
     return out
 
 
+def curation_funnel(df: DataFrame, lang: str = "en", min_quality: float = 0.6,
+                    jaccard_threshold: float = 0.7, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    source_col: str = "source") -> DataFrame:
+    """Per-source SURVIVAL FUNNEL of the curation pipeline — the audit
+    report a data-governance pass needs: how many docs each source
+    contributed and how many survived each stage (language ID, quality,
+    exact dedup, near-dup).  Returns (source, n_total, n_lang, n_quality,
+    n_exact, n_final), zeros for sources filtered out entirely.
+
+    Scale shape: the SAME one-scan fused chain as :func:`curate` (one
+    tokenize, persisted flagged projection feeds every stage), plus five
+    source-keyed count aggregates — each a map-side combine to |sources|
+    rows, joined broadcast-small at the end.  Stage semantics are
+    identical to curate() by construction (the funnel's n_final equals
+    curate().count() — pytest-gated)."""
+    scored = TX.profile(df.select(id_col, text_col, source_col), text_col,
+                        keep_tokens=True)
+    flagged = (scored
+               .withColumn("_lang_ok", F.col("lang_pred") == lang)
+               .withColumn("_q_ok", F.col("_lang_ok")
+                           & (F.col("quality") >= min_quality))
+               .persist())
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    surv = (flagged.filter(F.col("_q_ok"))
+                   .withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1)
+                   .select(id_col, "n_tokens", "quality", "_toks", source_col)
+                   .persist())
+    toks = surv.select(F.col(id_col).alias("id"), "_toks")
+    cand = DD.minhash_lsh_candidates(surv, text_col, id_col, toks=toks)
+    dups = DD.jaccard_verify(surv, cand, text_col, id_col,
+                             threshold=jaccard_threshold, toks=toks)
+    drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+    final = surv.join(drop, id_col, "left_anti")
+
+    def _cnt(frame: DataFrame, name: str) -> DataFrame:
+        return frame.groupBy(source_col).agg(F.count(F.lit(1)).alias(name))
+
+    out = (_cnt(flagged, "n_total")
+           .join(_cnt(flagged.filter(F.col("_lang_ok")), "n_lang"),
+                 source_col, "left")
+           .join(_cnt(flagged.filter(F.col("_q_ok")), "n_quality"),
+                 source_col, "left")
+           .join(_cnt(surv, "n_exact"), source_col, "left")
+           .join(_cnt(final, "n_final"), source_col, "left"))
+    out = out.select(
+        source_col,
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+          for c in ("n_total", "n_lang", "n_quality", "n_exact", "n_final")])
+    out._cached_deps = [flagged, surv]
+    return out
+
+
 def deterministic_sample(df: DataFrame, fraction: float,
                          id_col: str = "doc_id", key=None) -> DataFrame:
     """Reproducible row sample: keep rows whose hash bucket falls under

@@ -753,3 +753,67 @@ def test_gram_store_and_stream_decontaminate(spark, tmp_path):
     stream_decontaminate(spark, src, store_root, out, schema=sch)  # replay
     assert {(r["doc_id"], r["n_overlaps"])
             for r in store.read_table(spark, out).collect()} == want
+
+
+def test_curation_funnel_consistent_with_curate(spark):
+    """The funnel's stage counts are monotone non-increasing and its
+    n_final per source sums to exactly curate()'s survivor count."""
+    from laji_pygeoapi_spark.plans.curation import (curate, curation_funnel,
+                                                    release_caches)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fun = curation_funnel(docs)
+    rows = fun.collect()
+    release_caches(fun)
+    assert rows
+    for r in rows:
+        assert (r["n_total"] >= r["n_lang"] >= r["n_quality"]
+                >= r["n_exact"] >= r["n_final"] >= 0)
+    cur = curate(docs)
+    n_cur = cur.count()
+    release_caches(cur)
+    assert sum(r["n_final"] for r in rows) == n_cur
+
+
+def test_top_terms_rank_semantics(spark):
+    """tf dominates, df breaks tf ties ascending (rarer wins), term
+    lexicographic last; k bounds output per doc."""
+    df = spark.createDataFrame(
+        [(1, "apple apple banana cherry"),
+         (2, "banana banana banana cherry date")],
+        ["doc_id", "text"])
+    out = TX.top_terms(df, k=2)
+    got = {(r["doc_id"], r["rnk"]): (r["term"], r["tf"], r["df"])
+           for r in out.collect()}
+    assert got[(1, 1)] == ("apple", 2, 1)       # tf 2 beats tf-1 terms
+    # doc 1 tf-1 tie: banana df=2, cherry df=2 -> lexicographic
+    assert got[(1, 2)][0] == "banana"
+    assert got[(2, 1)] == ("banana", 3, 2)
+    # doc 2 tf-1 tie between cherry (df 2) and date (df 1): rarer wins
+    assert got[(2, 2)] == ("date", 1, 1)
+    assert len(got) == 4
+
+
+def test_cluster_representatives_prefers_quality(spark):
+    """Representative = highest score per component, ties to lowest id,
+    null scores last; exactly one row per component."""
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)],
+        ["doc_id", "comp"])
+    scores = spark.createDataFrame(
+        [(1, 0.4), (2, 0.9), (3, 0.9), (7, None), (8, 0.1)],
+        "doc_id long, quality double")  # doc 9 has no score row at all
+    out = {r["comp"]: (r["doc_id"], r["quality"])
+           for r in DD.cluster_representatives(labels, scores).collect()}
+    assert out[1] == (2, 0.9)   # best quality; tie 2-vs-3 -> lowest id
+    assert out[7] == (8, 0.1)   # null score sorts after a real one
+    assert out[9] == (9, None)  # singleton with no score still kept
+    assert len(out) == 3
+    # composition regression: connected_components output feeds
+    # cluster_representatives with DEFAULT column names (id, comp)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (7, 8)],
+                                  ["id_a", "id_b"])
+    cc = DD.connected_components(edges)
+    rep = DD.cluster_representatives(
+        cc, scores.withColumnRenamed("doc_id", "id"), id_col="id")
+    got = {r["comp"]: r["id"] for r in rep.collect()}
+    assert got == {1: 2, 7: 8}

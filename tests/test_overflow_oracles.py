@@ -48,7 +48,7 @@ def test_contract_ordering_invariants():
                  "gapfill_hourly", "interval_join",
                  # round-5 additions (newest ops in-cap per policy):
                  "semantic_dedup", "dup_gram_fraction", "shard_assign",
-                 "adaptive_cells"):
+                 "adaptive_cells", "top_terms", "curation_funnel"):
         assert must in in_cap, f"{must} overflowed the driver cap"
     oracles = entrymod.oracle_sql()
     for name in entrymod.OVERFLOW_QUERIES:
@@ -57,7 +57,10 @@ def test_contract_ordering_invariants():
 
 @pytest.mark.parametrize("name", entrymod.OVERFLOW_QUERIES)
 def test_overflow_query_matches_oracle(spark, duck, name):
-    sdf = entrymod.queries()[name](spark, SF_DIR).toPandas()
+    res = entrymod.queries()[name](spark, SF_DIR)
+    sdf = res.toPandas()
+    for dep in getattr(res, "_cached_deps", ()):
+        dep.unpersist()  # fused pipelines persist projections
     odf = duck.sql(entrymod.oracle_sql()[name]).df()
     assert len(sdf) == len(odf), (len(sdf), len(odf))
     assert sorted(map(str.lower, sdf.columns)) == sorted(map(str.lower, odf.columns))

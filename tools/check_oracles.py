@@ -47,7 +47,10 @@ def main() -> None:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            res = fn(spark, sf_dir)
+            sdf = res.toPandas()
+            for dep in getattr(res, "_cached_deps", ()):
+                dep.unpersist()  # fused pipelines persist projections
         except Exception as exc:  # noqa: BLE001
             print(f"[SPARK-FAIL] {name}: {exc}")
             failures.append(name)
