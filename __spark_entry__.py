@@ -29,6 +29,7 @@ if _REPO not in sys.path:
 
 from laji_pygeoapi_spark.functions import expressions as E
 from laji_pygeoapi_spark.operators import dedup as DD
+from laji_pygeoapi_spark.operators import maintenance as MT
 from laji_pygeoapi_spark.operators import similarity as SIM
 from laji_pygeoapi_spark.operators import spatial as SP
 from laji_pygeoapi_spark.operators import text as TX
@@ -1122,6 +1123,43 @@ def q_adaptive_cells(spark, sf_dir):
 _ADAPTIVE_THRESHOLD = 8
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """Corpus duplicated-passage removal (dedup.chunk_dedup): drop every
+    10-token chunk occurring in >=2 distinct docs, rebuild docs from the
+    kept chunks in order (C4/RefinedWeb line-dedup on a corpus whose
+    synthetic texts have no newlines — fixed-width chunks stand in for
+    lines).  The engine anti-joins broadcast 64-bit chunk hashes; the
+    oracle joins raw chunk strings and rebuilds with an ordered
+    string_agg — agreement validates both the hash path and the
+    order-preserving rebuild."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return DD.chunk_dedup(docs, width=10, min_docs=2)
+
+
+def q_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means (similarity.kmeans_assign, k=8, 2
+    update rounds) over the embeddings table — integer-quantized vectors
+    and pure-integer fixed-point centroids make every distance and every
+    centroid BIT-identical across engines (no fp accumulation order
+    anywhere).  The oracle unrolls both rounds relationally: exploded
+    (vec, dim) rows joined to centroid CTEs, integer floor-division
+    centroid updates, rank-1 argmin with ties to the lower cluster."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return SIM.kmeans_assign(emb, k=8, iters=2)
+
+
+def q_skew_stats(spark, sf_dir):
+    """Key-skew diagnostics (maintenance.key_skew) over res-4 hex cells of
+    the synthesized occurrence points: top-5 hottest cells + exact
+    rank-based p50/p99 per-cell counts + integer skew factor — the
+    pre-flight measurement that decides salting (north rule hotspot
+    handling).  The oracle recomputes the full res-4 axial-rounding chain
+    in SQL, then the same rank/percentile arithmetic."""
+    pts = _points(spark, sf_dir)
+    d = pts.withColumn("cell", SP.hex_cell_udf(4)(F.col("lon"), F.col("lat")))
+    return MT.key_skew(d, "cell", top=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synthesize points at sf0.001, PIP-join municipalities,
     histogram per municipality (the bbox+PIP serving core)."""
@@ -1163,9 +1201,17 @@ OVERFLOW_QUERIES = (
     "hourly_rollup",     # re-executed in full inside in-cap gapfill_hourly
     # parked for top_terms / curation_funnel (round-5 additions):
     "toplog",            # same global ORDER BY + LIMIT path as in-cap
-                         # centroid_rank / paging_keyset
-    "brute_topk",        # the cosine kernel runs in-cap inside ann_topk /
-                         # ivf_topk / ivfpq_topk / semantic_dedup
+                         # paging_keyset
+    "brute_topk",        # the cosine kernel runs in-cap inside
+                         # ivfpq_topk / semantic_dedup
+    # parked for chunk_dedup / kmeans / skew_stats (round-5 additions):
+    "ivf_topk",          # the IVF assignment + probe chain is oracled
+                         # end-to-end inside in-cap ivfpq_topk (same
+                         # persisted-store machinery, deeper oracle)
+    "ann_topk",          # LSH banding runs in-cap inside semantic_dedup;
+                         # the exact cosine re-rank inside ivfpq_topk
+    "centroid_rank",     # global ordered-rank path in-cap via
+                         # paging_keyset; haversine kernel via knn/dwithin
 )
 
 
@@ -1191,16 +1237,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paging_keyset": q_paging_keyset,
         "semantic_dedup": q_semantic_dedup,
         "minhash_pairs": q_minhash_pairs,
-        "ann_topk": q_ann_topk,
         "ivfpq_topk": q_ivfpq_topk,
-        "centroid_rank": q_centroid_rank,
         "text_profile": q_text_profile,
         "hll_distinct": q_hll_distinct,
         "cms_freq": q_cms_freq,
         "range_join": q_range_join,
         "asof_join": q_asof_join,
         "sessions": q_sessions,
-        "ivf_topk": q_ivf_topk,
         "curation": q_curation,
         "pack_sequences": q_pack_sequences,
         "mixture_sample": q_mixture_sample,
@@ -1223,6 +1266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_cells": q_adaptive_cells,
         "top_terms": q_top_terms,
         "curation_funnel": q_curation_funnel,
+        "chunk_dedup": q_chunk_dedup,
+        "kmeans": q_kmeans,
+        "skew_stats": q_skew_stats,
         # ---- beyond DRIVER_CAP: near-duplicate variants (see above) ----
         "count_preflight": q_count_preflight,
         "pip_distributed": q_pip_distributed,
@@ -1242,6 +1288,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_rollup": q_hourly_rollup,
         "toplog": q_toplog,
         "brute_topk": q_brute_topk,
+        "ivf_topk": q_ivf_topk,
+        "ann_topk": q_ann_topk,
+        "centroid_rank": q_centroid_rank,
     }
 
 
@@ -1275,6 +1324,57 @@ def _hex_chain_sql(res: int, tag: str) -> str:
               SELECT doc_id, ((CAST({res} AS BIGINT) << 56)
                      | ((CAST(q1 AS BIGINT) + 33554432) << 28)
                      | (CAST(r1 AS BIGINT) + 33554432)) AS cell FROM fx{tag})"""
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, scale: int = 1000) -> str:
+    """DuckDB twin of similarity.kmeans_assign — both Lloyd's rounds
+    unrolled RELATIONALLY (exploded (vec, dim) rows joined to centroid
+    CTEs) instead of the engine's broadcast-literal distance columns.
+    Every quantity is integer (quantized vectors, floor-division
+    fixed-point centroids via the sign-safe ``(a - pmod)/n`` form, sums of
+    squared integer diffs), so the two shapes agree bit-for-bit — there is
+    no fp accumulation order to diverge on."""
+    parts = [f"""qv AS (SELECT vec_id, list_transform(embedding,
+                     v -> CAST(floor(CAST(v AS DOUBLE) * {scale} + 0.5)
+                               AS BIGINT)) AS qx
+                 FROM embeddings),
+            e AS (SELECT vec_id, unnest(range(1, len(qx) + 1)) AS d,
+                         unnest(qx) AS x FROM qv),
+            init AS (SELECT vec_id,
+                            CAST(row_number() OVER (ORDER BY vec_id) - 1
+                                 AS INTEGER) AS cluster
+                     FROM (SELECT vec_id FROM embeddings
+                           ORDER BY vec_id LIMIT {k})),
+            c0 AS (SELECT i.cluster, e.d, e.x * {scale} AS cv
+                   FROM init i JOIN e USING (vec_id))"""]
+    for r in range(1, iters + 1):
+        parts.append(f"""a{r}d AS (SELECT e.vec_id, c.cluster,
+                          CAST(sum((e.x * {scale} - c.cv)
+                                   * (e.x * {scale} - c.cv)) AS BIGINT) AS dist
+                   FROM e JOIN c{r - 1} c ON e.d = c.d GROUP BY 1, 2),
+            a{r} AS (SELECT vec_id, cluster, dist FROM (
+                       SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cluster) AS rn
+                       FROM a{r}d) WHERE rn = 1),
+            u{r} AS (SELECT a.cluster, e.d, CAST(sum(e.x) AS BIGINT) AS s,
+                            count(*) AS n
+                   FROM a{r} a JOIN e USING (vec_id) GROUP BY 1, 2),
+            c{r} AS (SELECT c.cluster, c.d,
+                       CASE WHEN u.s IS NULL THEN c.cv
+                            ELSE CAST((u.s * {scale}
+                                       - (((u.s * {scale}) % u.n) + u.n) % u.n)
+                                      / u.n AS BIGINT) END AS cv
+                   FROM c{r - 1} c LEFT JOIN u{r} u
+                     ON c.cluster = u.cluster AND c.d = u.d)""")
+    parts.append(f"""fd AS (SELECT e.vec_id, c.cluster,
+                      CAST(sum((e.x * {scale} - c.cv)
+                               * (e.x * {scale} - c.cv)) AS BIGINT) AS dist
+               FROM e JOIN c{iters} c ON e.d = c.d GROUP BY 1, 2)""")
+    return ("WITH " + ",\n".join(parts) + """
+            SELECT vec_id, cluster, dist FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dist, cluster) AS rn FROM fd)
+            WHERE rn = 1""")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2451,5 +2551,64 @@ def oracle_sql() -> dict[str, str]:
                       FROM j JOIN cnt ON j.cb = cnt.cb)
             SELECT cell_adaptive, cell_res, count(*) AS cnt
             FROM adapt GROUP BY 1, 2
+        """,
+        "chunk_dedup": """
+            WITH tok AS (SELECT doc_id, __TOK__ AS t FROM documents),
+            ch0 AS (SELECT doc_id,
+                           unnest(range(1, CAST(ceil(len(t) / 10.0) AS BIGINT)
+                                           + 1)) AS idx,
+                           t
+                    FROM tok WHERE len(t) > 0),
+            cc AS (SELECT doc_id, idx,
+                          array_to_string(t[(idx - 1) * 10 + 1 : idx * 10],
+                                          ' ') AS chunk
+                   FROM ch0),
+            ne AS (SELECT doc_id, idx, chunk FROM cc WHERE chunk <> ''),
+            heavy AS (SELECT chunk FROM (
+                        SELECT chunk, count(DISTINCT doc_id) AS nd
+                        FROM ne GROUP BY 1) WHERE nd >= 2),
+            fl AS (SELECT ne.doc_id, ne.idx, ne.chunk,
+                          (h.chunk IS NOT NULL) AS dup
+                   FROM ne LEFT JOIN heavy h USING (chunk))
+            SELECT doc_id,
+                   count(*) AS n_chunks,
+                   CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed,
+                   coalesce(string_agg(CASE WHEN NOT dup THEN chunk END,
+                                       ' ' ORDER BY idx), '') AS text_clean
+            FROM fl GROUP BY doc_id
+        """.replace("__TOK__", _TOKENS_SQL),
+        "kmeans": _kmeans_sql(k=8, iters=2, scale=1000),
+        "skew_stats": f"""
+            WITH {_PTS_CTE},
+            {_hex_chain_sql(4, 'D')},
+            counts AS (SELECT cell, count(*) AS cnt FROM cellD GROUP BY 1),
+            ranked AS (SELECT cell, cnt,
+                              row_number() OVER (ORDER BY cnt ASC, cell ASC)
+                                  AS ra,
+                              CAST(row_number() OVER (ORDER BY cnt DESC,
+                                                      cell ASC)
+                                   AS INTEGER) AS rnk
+                       FROM counts),
+            summ AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                            CAST(sum(cnt) AS BIGINT) AS total_cnt,
+                            max(cnt) AS max_cnt
+                     FROM counts),
+            pos AS (SELECT n_keys, total_cnt, max_cnt,
+                           CAST((n_keys * 50 + 99
+                                 - (n_keys * 50 + 99) % 100) / 100
+                                AS BIGINT) AS p50pos,
+                           CAST((n_keys * 99 + 99
+                                 - (n_keys * 99 + 99) % 100) / 100
+                                AS BIGINT) AS p99pos
+                    FROM summ),
+            p50 AS (SELECT cnt AS p50_cnt FROM ranked, pos WHERE ra = p50pos),
+            p99 AS (SELECT cnt AS p99_cnt FROM ranked, pos WHERE ra = p99pos)
+            SELECT cell, cnt, rnk, n_keys, total_cnt, max_cnt,
+                   p50_cnt, p99_cnt,
+                   CAST((max_cnt * 1000 * n_keys
+                         - (max_cnt * 1000 * n_keys) % total_cnt) / total_cnt
+                        AS BIGINT) AS skew_x1000
+            FROM ranked, pos, p50, p99 WHERE rnk <= 5
         """,
     }

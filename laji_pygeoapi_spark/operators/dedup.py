@@ -603,6 +603,56 @@ def dup_gram_fraction(docs: DataFrame, n: int = 5, min_df: int = 2,
                               F.round(F.col("n_dup") / F.col("n_grams"), 6)))
 
 
+def chunk_dedup(docs: DataFrame, width: int = 10, min_docs: int = 2,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level DUPLICATED-PASSAGE REMOVAL (the line/paragraph-dedup
+    step of C4 / RefinedWeb): split each document into fixed ``width``-token
+    chunks, drop every chunk whose exact form occurs in >= ``min_docs``
+    distinct documents corpus-wide, and rebuild the document from the kept
+    chunks in original order.  Unlike :func:`dup_gram_fraction` (which only
+    SCORES repetition) this op REWRITES the corpus — the shape a training
+    pipeline actually ships.
+
+    Scale shape: pass 1 computes the heavy-chunk set (tokenize -> chunk ->
+    64-bit hash -> distinct-doc count, all map-side combinable); that set
+    is SMALL by construction (only chunks repeated across documents) and
+    broadcast into pass 2's left join, so the only corpus-sized shuffle is
+    the unavoidable per-document rebuild agg.  Two source scans, nothing
+    exploded is persisted — the decontamination lesson: at 10^12 rows a
+    re-tokenize beats materializing the exploded relation.  The rebuild is
+    canonical (kept chunks joined with single spaces) so the oracle's
+    ``string_agg(... ORDER BY idx)`` reproduces it byte-identically.
+
+    Returns (id, n_chunks, n_removed, text_clean)."""
+    staged = (docs.select(id_col, text_col)
+                  .withColumn("_toks", TX.tokenize(F.col(text_col)))
+                  .filter(F.size("_toks") > 0))
+    n_chunks = F.ceil(F.size("_toks") / F.lit(width)).cast("int")
+    chunk_at = lambda i: F.array_join(  # noqa: E731 — 1-based slice start
+        F.slice(F.col("_toks"), (i - F.lit(1)) * width + F.lit(1), width), " ")
+    exploded = (staged.select(
+                    id_col,
+                    F.posexplode(F.transform(F.sequence(F.lit(1), n_chunks),
+                                             chunk_at)).alias("_i", "chunk"))
+                .filter(F.col("chunk") != "")
+                .select(id_col, (F.col("_i") + 1).alias("idx"), "chunk",
+                        F.xxhash64("chunk").alias("ch")))
+    heavy = (exploded.groupBy("ch")
+                     .agg(F.countDistinct(id_col).alias("_docs"))
+                     .filter(F.col("_docs") >= min_docs)
+                     .select("ch", F.lit(True).alias("_dup")))
+    flagged = exploded.join(F.broadcast(heavy), "ch", "left")
+    kept = F.when(F.col("_dup").isNull(), F.struct("idx", "chunk"))
+    return (flagged.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.coalesce(F.sum(F.col("_dup").cast("long")),
+                            F.lit(0)).alias("n_removed"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list(kept)),
+                                 lambda s: s["chunk"]),
+                     " ").alias("text_clean")))
+
+
 def cluster_representatives(labels: DataFrame, scores: DataFrame,
                             id_col: str = "doc_id",
                             comp_col: str = "comp",

@@ -261,3 +261,52 @@ def run_overlapped(spark, named_tasks: dict) -> dict:
         name, exc = next(iter(errors.items()))
         raise RuntimeError(f"overlapped task '{name}' failed") from exc
     return results
+
+
+def key_skew(df: DataFrame, key_col: str, top: int = 5) -> DataFrame:
+    """Key-distribution SKEW DIAGNOSTICS — the measurement that decides
+    whether a join/agg key needs salting BEFORE the job that would die on
+    it runs (north rule: Helsinki-scale hotspot cells).  Reports the
+    ``top`` heaviest keys plus corpus-wide shape stats: exact rank-based
+    p50/p99 of per-key counts (never fp-interpolated percentiles — the
+    value AT row ceil(q*n), unambiguous in both engines), the hottest
+    key's count, and ``skew_x1000`` = floor(1000 * max_cnt / mean_cnt) in
+    pure-integer arithmetic (the factor the hottest partition exceeds the
+    average — the salt multiple that would level it).
+
+    Scale shape: the corpus-sized work is ONE map-side-combinable count
+    agg; everything after runs on the n_keys-sized count table (cells /
+    domains / shard keys — millions of rows at 10^12 input, trivial), so
+    the two global rank windows are single-task by construction and the
+    summary joins are broadcasts."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = (counts
+              .withColumn("_ra", F.row_number().over(
+                  Window.orderBy(F.col("cnt").asc(), F.col(key_col).asc())))
+              .withColumn("rnk", F.row_number().over(
+                  Window.orderBy(F.col("cnt").desc(), F.col(key_col).asc()))))
+
+    def fdiv(a: Column, b: Column) -> Column:
+        # exact positive-integer floor division (both engines agree on %)
+        return ((a - a % b) / b).cast("long")
+
+    summ = (counts.agg(F.count(F.lit(1)).alias("n_keys"),
+                       F.sum("cnt").alias("total_cnt"),
+                       F.max("cnt").alias("max_cnt"))
+            .withColumn("_p50pos",
+                        fdiv(F.col("n_keys") * 50 + 99, F.lit(100)))
+            .withColumn("_p99pos",
+                        fdiv(F.col("n_keys") * 99 + 99, F.lit(100))))
+    j = ranked.crossJoin(F.broadcast(summ))
+    p50 = (j.filter(F.col("_ra") == F.col("_p50pos"))
+            .select(F.col("cnt").alias("p50_cnt")))
+    p99 = (j.filter(F.col("_ra") == F.col("_p99pos"))
+            .select(F.col("cnt").alias("p99_cnt")))
+    return (j.filter(F.col("rnk") <= top)
+             .crossJoin(F.broadcast(p50))
+             .crossJoin(F.broadcast(p99))
+             .withColumn("skew_x1000",
+                         fdiv(F.col("max_cnt") * 1000 * F.col("n_keys"),
+                              F.col("total_cnt")))
+             .select(key_col, "cnt", "rnk", "n_keys", "total_cnt",
+                     "max_cnt", "p50_cnt", "p99_cnt", "skew_x1000"))

@@ -538,3 +538,78 @@ def ivfpq_topk_stored(spark, root: str, codebook: DataFrame,
                 .orderBy(F.col("adist").asc(), F.col(id_col).asc())
                 .limit(k)
                 .select(id_col, F.round("adist", 6).alias("adist_r")))
+
+
+# ------------------------------------------------------------- k-means
+
+def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  scale: int = 1000) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the document
+    CLUSTERING step of corpus curation (SemDeDup-style semantic bucketing,
+    domain mixture discovery) that IVF training only approximates on a
+    sample.  Deterministic and BIT-EXACT across engines: vectors are
+    quantized to integers (``floor(v*scale + 0.5)``, the repo's hex-axial
+    rounding — no banker's ambiguity), centroids are kept in pure-integer
+    fixed point (``floor(sum*scale / count)`` by exact integer floor
+    division), and distances are integer sums of squares — so there is NO
+    floating-point accumulation order to disagree on, the trap every
+    cross-engine fp oracle hits (CLAUDE.md).
+
+    Init: the vectors of the ``k`` smallest ids (cluster = id rank).  Each
+    iteration assigns every vector to the argmin-distance centroid (ties
+    -> lowest cluster index) and recomputes centroids as quantized member
+    means; clusters that lose all members keep their previous centroid.
+
+    Scale shape: per iteration ONE narrow projection computes k staged
+    integer distance columns from broadcast-literal centroids (no explode,
+    no join) and one map-side-combinable agg produces k rows x (dim sums +
+    count); only k*(dim+1) integers ever reach the driver per round — the
+    same bounded-collect class as PQ codebook training.  Magnitudes: with
+    |v|<=2 and scale=1000, per-dim terms <= (4e6)^2*dim ~ 1e15 < 2^63.
+
+    Returns (id, cluster:int, dist:long) — the assignment AFTER ``iters``
+    centroid updates."""
+    qx = F.transform(F.col(vec_col),
+                     lambda v: F.floor(v.cast("double") * scale + F.lit(0.5))
+                                .cast("long"))
+    staged = emb.select(F.col(id_col), qx.alias("_qx"))
+    init_rows = (staged.orderBy(id_col).limit(k).collect())
+    dim = len(init_rows[0]["_qx"])
+    # fixed-point e-(2*log10(scale)): centroid units are qx*scale
+    cents = [[int(v) * scale for v in r["_qx"]] for r in init_rows]
+
+    def assigned(frame):
+        out = frame
+        for c in range(len(cents)):
+            lit_c = F.array(*[F.lit(v) for v in cents[c]])
+            d = F.aggregate(
+                F.zip_with(F.col("_qx"), lit_c,
+                           lambda a, b: (a * scale - b) * (a * scale - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            out = out.withColumn(f"_d{c}", d)  # staged: CLAUDE.md subtree rule
+        choice = F.array_min(F.array(*[
+            F.struct(F.col(f"_d{c}").alias("d"),
+                     F.lit(c).cast("int").alias("c"))
+            for c in range(len(cents))]))
+        return (out.withColumn("cluster", choice["c"])
+                   .withColumn("dist", choice["d"])
+                   .drop(*[f"_d{c}" for c in range(len(cents))]))
+
+    for _ in range(iters):
+        a = assigned(staged)
+        upd = (a.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("_n"),
+                     *[F.sum(F.col("_qx")[d]).alias(f"_s{d}")
+                       for d in range(dim)])
+                .collect())
+        new_cents = list(cents)
+        for r in upd:
+            c, n = r["cluster"], r["_n"]
+            # python // floors — matches the oracle's (a - pmod)/n form
+            new_cents[c] = [(int(r[f"_s{d}"]) * scale) // n
+                            for d in range(dim)]
+        cents = new_cents
+
+    return (assigned(staged)
+            .select(F.col(id_col), F.col("cluster"), F.col("dist")))

@@ -817,3 +817,67 @@ def test_cluster_representatives_prefers_quality(spark):
         cc, scores.withColumnRenamed("doc_id", "id"), id_col="id")
     got = {r["comp"]: r["id"] for r in rep.collect()}
     assert got == {1: 2, 7: 8}
+
+
+def test_chunk_dedup_drops_shared_passages(spark):
+    shared = " ".join(f"w{i}" for i in range(10))       # one exact 10-tok chunk
+    uniq = lambda j: " ".join(f"u{j}x{i}" for i in range(10))  # noqa: E731
+    rows = [
+        {"doc_id": 0, "text": shared + " " + uniq(0)},
+        {"doc_id": 1, "text": shared + " " + uniq(1)},
+        {"doc_id": 2, "text": uniq(2) + " " + uniq(3)},
+        {"doc_id": 3, "text": shared},                   # only the heavy chunk
+    ]
+    out = {r["doc_id"]: r for r in
+           DD.chunk_dedup(spark.createDataFrame(pd.DataFrame(rows)),
+                          width=10, min_docs=2).collect()}
+    # the shared chunk is heavy (3 distinct docs) and removed everywhere
+    assert out[0]["n_removed"] == 1 and out[0]["text_clean"] == uniq(0)
+    assert out[1]["n_removed"] == 1 and out[1]["text_clean"] == uniq(1)
+    # untouched doc: canonical rebuild equals its space-joined tokens, order kept
+    assert out[2]["n_removed"] == 0
+    assert out[2]["text_clean"] == uniq(2) + " " + uniq(3)
+    assert out[2]["n_chunks"] == 2
+    # a doc that was ONLY boilerplate rebuilds to the empty string
+    assert out[3]["n_removed"] == 1 and out[3]["text_clean"] == ""
+
+
+def test_chunk_dedup_partial_tail_chunk(spark):
+    # 13 tokens -> chunks of 10 + 3; the short tail is its own chunk
+    rows = [{"doc_id": 0, "text": " ".join(f"t{i}" for i in range(13))}]
+    out = DD.chunk_dedup(spark.createDataFrame(pd.DataFrame(rows))).collect()[0]
+    assert out["n_chunks"] == 2 and out["n_removed"] == 0
+    assert out["text_clean"] == " ".join(f"t{i}" for i in range(13))
+
+
+def test_kmeans_assign_separable_clusters(spark):
+    # two tight blobs far apart -> 2-means must separate them exactly
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(30):
+        center = 5.0 if i % 2 == 0 else -5.0
+        v = (rng.normal(center, 0.05, 8)).astype(float).tolist()
+        rows.append({"vec_id": i, "embedding": v})
+    out = SIM.kmeans_assign(spark.createDataFrame(pd.DataFrame(rows)),
+                            k=2, iters=3, id_col="vec_id",
+                            vec_col="embedding").collect()
+    by_parity = {0: set(), 1: set()}
+    for r in out:
+        by_parity[r["vec_id"] % 2].add(r["cluster"])
+    assert len(out) == 30
+    # each blob maps to exactly one cluster, and the clusters differ
+    assert len(by_parity[0]) == 1 and len(by_parity[1]) == 1
+    assert by_parity[0] != by_parity[1]
+    assert all(r["dist"] >= 0 for r in out)
+
+
+def test_kmeans_assign_deterministic(spark):
+    rng = np.random.default_rng(11)
+    rows = [{"vec_id": i, "embedding": rng.normal(0, 1, 6).tolist()}
+            for i in range(25)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    a = sorted((r["vec_id"], r["cluster"], r["dist"])
+               for r in SIM.kmeans_assign(df, k=4, iters=2).collect())
+    b = sorted((r["vec_id"], r["cluster"], r["dist"])
+               for r in SIM.kmeans_assign(df, k=4, iters=2).collect())
+    assert a == b

@@ -170,3 +170,26 @@ def test_t3_overlapped_task_error_propagates(spark):
         raise ValueError("x")
     with _pytest.raises(RuntimeError, match="overlapped task"):
         M.run_overlapped(spark, {"ok": lambda: 1, "bad": boom})
+
+
+def test_key_skew_shape_and_exact_percentiles(spark):
+    import pandas as pd
+    from laji_pygeoapi_spark.operators.maintenance import key_skew
+    # 10 keys with counts 1..9 and one hot key with 81 -> total 126
+    rows = []
+    for k in range(1, 10):
+        rows += [{"key": f"k{k}"}] * k
+    rows += [{"key": "hot"}] * 81
+    out = key_skew(spark.createDataFrame(pd.DataFrame(rows)), "key",
+                   top=2).collect()
+    assert len(out) == 2
+    top = {r["key"]: r for r in out}
+    assert top["hot"]["rnk"] == 1 and top["hot"]["cnt"] == 81
+    assert top["k9"]["rnk"] == 2 and top["k9"]["cnt"] == 9
+    r = out[0]
+    assert r["n_keys"] == 10 and r["total_cnt"] == 126 and r["max_cnt"] == 81
+    # rank-based percentiles: sorted counts [1..9, 81]; p50 = 5th = 5,
+    # p99 = ceil(9.9) = 10th = 81
+    assert r["p50_cnt"] == 5 and r["p99_cnt"] == 81
+    # skew = floor(1000 * 81 / (126/10)) = floor(810000/126) = 6428
+    assert r["skew_x1000"] == 6428

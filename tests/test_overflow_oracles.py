@@ -48,7 +48,8 @@ def test_contract_ordering_invariants():
                  "gapfill_hourly", "interval_join",
                  # round-5 additions (newest ops in-cap per policy):
                  "semantic_dedup", "dup_gram_fraction", "shard_assign",
-                 "adaptive_cells", "top_terms", "curation_funnel"):
+                 "adaptive_cells", "top_terms", "curation_funnel",
+                 "chunk_dedup", "kmeans", "skew_stats"):
         assert must in in_cap, f"{must} overflowed the driver cap"
     oracles = entrymod.oracle_sql()
     for name in entrymod.OVERFLOW_QUERIES:
