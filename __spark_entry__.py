@@ -1160,6 +1160,29 @@ def q_skew_stats(spark, sf_dir):
     return MT.key_skew(d, "cell", top=5)
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """Multi-zoom tile count pyramid (tiling.count_pyramid, zooms 5-8):
+    ONE corpus agg at the finest zoom, coarser levels by integer tile
+    halving over the tile table only.  The oracle recomputes EVERY zoom
+    independently from the points via the clamped WebMercator formula —
+    agreement proves halving commutes with per-zoom assignment (binary
+    scaling) and validates the rollup end-to-end."""
+    from laji_pygeoapi_spark.operators.tiling import count_pyramid
+    pts = _points(spark, sf_dir)
+    return count_pyramid(pts, zmin=5, zmax=8)
+
+
+def q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced diversity sample (similarity.cluster_balanced_
+    sample): k-means bucketing + a fixed per-cluster quota selected in
+    deterministic Knuth-hash order — uniform sampling reproduces corpus
+    imbalance; this caps every semantic bucket.  Oracle = the full
+    integer-exact k-means chain composed with the same hash-rank window
+    in one SQL query."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return SIM.cluster_balanced_sample(emb, k=8, iters=2, quota=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synthesize points at sf0.001, PIP-join municipalities,
     histogram per municipality (the bbox+PIP serving core)."""
@@ -1212,6 +1235,12 @@ OVERFLOW_QUERIES = (
                          # the exact cosine re-rank inside ivfpq_topk
     "centroid_rank",     # global ordered-rank path in-cap via
                          # paging_keyset; haversine kernel via knn/dwithin
+    # parked for tile_pyramid / cluster_sample (round-5 additions):
+    "hex_cells",         # the same axial-rounding hex chain runs in-cap
+                         # at two resolutions inside adaptive_cells and
+                         # at res 4 inside skew_stats
+    "density_grid",      # same clamped WebMercator binning formula as
+                         # in-cap tiles + tile_pyramid, finer grid
 )
 
 
@@ -1222,8 +1251,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_municipality": q_pip_municipality,
         "knn": q_knn,
         "dwithin": q_dwithin,
-        "density_grid": q_density_grid,
-        "hex_cells": q_hex_cells,
         "tiles": q_tiles,
         "dedup_latest": q_dedup_latest,
         "merge_policies": q_merge_policies,
@@ -1269,6 +1296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "kmeans": q_kmeans,
         "skew_stats": q_skew_stats,
+        "tile_pyramid": q_tile_pyramid,
+        "cluster_sample": q_cluster_sample,
         # ---- beyond DRIVER_CAP: near-duplicate variants (see above) ----
         "count_preflight": q_count_preflight,
         "pip_distributed": q_pip_distributed,
@@ -1291,6 +1320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ann_topk": q_ann_topk,
         "centroid_rank": q_centroid_rank,
+        "hex_cells": q_hex_cells,
+        "density_grid": q_density_grid,
     }
 
 
@@ -1326,7 +1357,8 @@ def _hex_chain_sql(res: int, tag: str) -> str:
                      | (CAST(r1 AS BIGINT) + 33554432)) AS cell FROM fx{tag})"""
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2, scale: int = 1000) -> str:
+def _kmeans_sql(k: int = 8, iters: int = 2, scale: int = 1000,
+                tail: str | None = None) -> str:
     """DuckDB twin of similarity.kmeans_assign — both Lloyd's rounds
     unrolled RELATIONALLY (exploded (vec, dim) rows joined to centroid
     CTEs) instead of the engine's broadcast-literal distance columns.
@@ -1370,11 +1402,14 @@ def _kmeans_sql(k: int = 8, iters: int = 2, scale: int = 1000) -> str:
                       CAST(sum((e.x * {scale} - c.cv)
                                * (e.x * {scale} - c.cv)) AS BIGINT) AS dist
                FROM e JOIN c{iters} c ON e.d = c.d GROUP BY 1, 2)""")
-    return ("WITH " + ",\n".join(parts) + """
-            SELECT vec_id, cluster, dist FROM (
+    final = """SELECT vec_id, cluster, dist FROM (
               SELECT *, row_number() OVER (PARTITION BY vec_id
                           ORDER BY dist, cluster) AS rn FROM fd)
-            WHERE rn = 1""")
+            WHERE rn = 1"""
+    if tail is None:
+        return "WITH " + ",\n".join(parts) + "\n" + final
+    # composition form: expose the assignment as CTE `asg` for the tail
+    return ("WITH " + ",\n".join(parts) + f",\nasg AS ({final})\n" + tail)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2579,6 +2614,25 @@ def oracle_sql() -> dict[str, str]:
             FROM fl GROUP BY doc_id
         """.replace("__TOK__", _TOKENS_SQL),
         "kmeans": _kmeans_sql(k=8, iters=2, scale=1000),
+        "cluster_sample": _kmeans_sql(k=8, iters=2, scale=1000, tail="""
+            , keyed AS (SELECT vec_id, cluster,
+                        CAST(row_number() OVER (PARTITION BY cluster
+                             ORDER BY (vec_id * 2654435761) % 1048576,
+                                      vec_id) AS INTEGER) AS rnk
+                        FROM asg)
+            SELECT vec_id, cluster, rnk FROM keyed WHERE rnk <= 20"""),
+        "tile_pyramid": f"WITH {_PTS_CTE}\n" + "\nUNION ALL\n".join(
+            f"""SELECT CAST({z} AS INTEGER) AS zoom, tile_x AS x,
+                       tile_y AS y, count(*) AS cnt FROM (
+                  SELECT CAST(least({(1 << z) - 1}, greatest(0,
+                           floor((lon + 180.0) / 360.0 * {1 << z})))
+                         AS BIGINT) AS tile_x,
+                         CAST(least({(1 << z) - 1}, greatest(0,
+                           floor((1.0 - ({asinh}) / pi()) / 2.0 * {1 << z})))
+                         AS BIGINT) AS tile_y
+                  FROM pts)
+                GROUP BY 1, 2, 3"""
+            for z in range(5, 9)),
         "skew_stats": f"""
             WITH {_PTS_CTE},
             {_hex_chain_sql(4, 'D')},

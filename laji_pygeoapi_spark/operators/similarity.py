@@ -613,3 +613,27 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
 
     return (assigned(staged)
             .select(F.col(id_col), F.col("cluster"), F.col("dist")))
+
+
+def cluster_balanced_sample(emb: DataFrame, k: int = 8, iters: int = 2,
+                            quota: int = 20, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """DIVERSITY-BALANCED SAMPLING: k-means-cluster the embeddings, then
+    keep a fixed per-cluster quota — the curation step that stops a
+    majority domain from dominating a training sample (cluster-balanced
+    selection a la DoReMi/SemDeDup pipelines), where uniform sampling
+    would reproduce the corpus imbalance.
+
+    Selection within a cluster is a deterministic hash order (the
+    shard_assign Knuth key — pure-integer, engine-agnostic), never
+    ``rand()``: resume-safe and oracle-checkable.  Cost on top of
+    :func:`kmeans_assign` is one bounded window per cluster key.
+    Returns (id, cluster, rnk) with rnk <= quota."""
+    from pyspark.sql import Window
+    asg = kmeans_assign(emb, k=k, iters=iters, id_col=id_col,
+                        vec_col=vec_col)
+    key = (F.col(id_col) * F.lit(2654435761)) % F.lit(1048576)
+    w = Window.partitionBy("cluster").orderBy(key.asc(), F.col(id_col).asc())
+    return (asg.withColumn("rnk", F.row_number().over(w).cast("int"))
+               .filter(F.col("rnk") <= quota)
+               .select(id_col, "cluster", "rnk"))

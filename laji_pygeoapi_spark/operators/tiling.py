@@ -335,3 +335,37 @@ def render_density_tiles(grid: DataFrame, size: int = 256) -> DataFrame:
 
     return grid.groupBy("tile_x", "tile_y").applyInPandas(
         render, schema=DENSITY_TILE_SCHEMA)
+
+
+def count_pyramid(df: DataFrame, zmin: int = 5, zmax: int = 8,
+                  lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Multi-zoom TILE COUNT PYRAMID in one corpus pass — the vector-side
+    companion of :func:`build_pyramid_level` (which downsamples rasters):
+    per-tile row counts at every zoom in [zmin, zmax], the table a tile
+    server needs to pick render strategy (count-label vs raster) and the
+    pyramid build needs to size work per level.
+
+    Scale shape: the corpus is scanned and aggregated ONCE at the finest
+    zoom; every coarser level derives from the previous level's TILE table
+    by integer halving (``x >> 1`` — exact because WebMercator tile
+    numbers are binary scalings, so floor-halving commutes with the
+    clamped floor at each zoom) and re-aggregation.  Level z has at most
+    4^z rows, so the log-many coarse aggs shuffle tile-table bytes, not
+    corpus bytes.  Returns (zoom, x, y, cnt)."""
+    from .spatial import tile_udf
+    base = (df.withColumn("_t", tile_udf(zmax)(F.col(lon), F.col(lat)))
+              .groupBy(F.col("_t.x").alias("x"), F.col("_t.y").alias("y"))
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .withColumn("zoom", F.lit(zmax).cast("int")))
+    levels = [base]
+    cur = base
+    for z in range(zmax - 1, zmin - 1, -1):
+        cur = (cur.select(F.shiftright("x", 1).alias("x"),
+                          F.shiftright("y", 1).alias("y"), "cnt")
+                  .groupBy("x", "y").agg(F.sum("cnt").alias("cnt"))
+                  .withColumn("zoom", F.lit(z).cast("int")))
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select("zoom", "x", "y", "cnt")

@@ -881,3 +881,25 @@ def test_kmeans_assign_deterministic(spark):
     b = sorted((r["vec_id"], r["cluster"], r["dist"])
                for r in SIM.kmeans_assign(df, k=4, iters=2).collect())
     assert a == b
+
+
+def test_cluster_balanced_sample_caps_every_cluster(spark):
+    rng = np.random.default_rng(3)
+    rows = []
+    # imbalanced blobs: 40 near +5, 8 near -5
+    for i in range(48):
+        center = 5.0 if i < 40 else -5.0
+        rows.append({"vec_id": i,
+                     "embedding": rng.normal(center, 0.05, 8).tolist()})
+    out = SIM.cluster_balanced_sample(
+        spark.createDataFrame(pd.DataFrame(rows)), k=2, iters=2,
+        quota=10).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["cluster"], []).append(r)
+    # majority blob capped at quota, minority keeps all 8
+    sizes = sorted(len(v) for v in per.values())
+    assert sizes == [8, 10]
+    for rows_c in per.values():
+        assert sorted(r["rnk"] for r in rows_c) == list(
+            range(1, len(rows_c) + 1))

@@ -49,7 +49,8 @@ def test_contract_ordering_invariants():
                  # round-5 additions (newest ops in-cap per policy):
                  "semantic_dedup", "dup_gram_fraction", "shard_assign",
                  "adaptive_cells", "top_terms", "curation_funnel",
-                 "chunk_dedup", "kmeans", "skew_stats"):
+                 "chunk_dedup", "kmeans", "skew_stats",
+                 "tile_pyramid", "cluster_sample"):
         assert must in in_cap, f"{must} overflowed the driver cap"
     oracles = entrymod.oracle_sql()
     for name in entrymod.OVERFLOW_QUERIES:

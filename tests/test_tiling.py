@@ -199,3 +199,26 @@ def test_density_grid_and_render_roundtrip(spark):
     expect = np.minimum(255.0, canvas * (255.0 / canvas.max())).astype(np.uint8)
     assert np.array_equal(img[:, :, 0], expect)
     assert tile["max_cnt"] == int(canvas.max())
+
+
+def test_count_pyramid_levels_consistent(spark):
+    import pandas as pd
+    from laji_pygeoapi_spark.operators.tiling import count_pyramid
+    rng_rows = [{"doc_id": i, "lon": 19.5 + (i % 23) * 0.5,
+                 "lat": 59.6 + (i % 17) * 0.6} for i in range(200)]
+    out = count_pyramid(spark.createDataFrame(pd.DataFrame(rng_rows)),
+                        zmin=5, zmax=8).collect()
+    by_zoom = {}
+    for r in out:
+        by_zoom.setdefault(r["zoom"], {})[(r["x"], r["y"])] = r["cnt"]
+    assert set(by_zoom) == {5, 6, 7, 8}
+    # every zoom accounts for every point
+    for z in by_zoom:
+        assert sum(by_zoom[z].values()) == 200
+    # each parent tile's count is the sum of its four children
+    for (x, y), cnt in by_zoom[7].items():
+        kids = sum(v for (cx, cy), v in by_zoom[8].items()
+                   if cx >> 1 == x and cy >> 1 == y)
+        assert kids == cnt
+    # coarser zooms never have more tiles
+    assert len(by_zoom[5]) <= len(by_zoom[6]) <= len(by_zoom[8])
