@@ -40,6 +40,9 @@ HEADLINE = [
     "domain_stats", "gapfill_hourly", "interval_join", "semantic_dedup",
     "dup_gram_fraction", "shard_assign", "adaptive_cells",
     "top_terms", "curation_funnel",
+    # round-5 additions:
+    "chunk_dedup", "kmeans", "skew_stats", "tile_pyramid",
+    "cluster_sample",
 ]
 
 
