@@ -477,9 +477,11 @@ def q_semantic_dedup(spark, sf_dir):
     derived = _planted_embeddings(spark, sf_dir)
     pairs = DD.embedding_neardup(derived, threshold=0.95, tables=2, planes=8)
     cc = DD.connected_components(pairs, vertices=derived.select("vec_id"))
-    return cc.select(F.col("id").alias("vec_id"),
-                     F.col("comp").alias("rep_id"),
-                     (F.col("id") == F.col("comp")).cast("long").alias("kept"))
+    out = cc.select(F.col("id").alias("vec_id"),
+                    F.col("comp").alias("rep_id"),
+                    (F.col("id") == F.col("comp")).cast("long").alias("kept"))
+    out._cached_deps = getattr(cc, "_cached_deps", [])
+    return out
 
 
 def q_exact_dedup(spark, sf_dir):
@@ -918,9 +920,10 @@ def q_dedup_clusters(spark, sf_dir):
     cc = DD.connected_components(pairs)
     out = cc.select(F.col("id").alias("doc_id"),
                     F.col("comp").alias("component"))
-    # carry the minhash stage's cache handle so bench/pipeline callers can
-    # release it (plans.curation.release_caches)
-    out._cached_deps = getattr(pairs, "_cached_deps", [])
+    # carry the minhash stage's cache handle AND the CC loop's final
+    # checkpoint so bench/pipeline callers can release both
+    out._cached_deps = (getattr(pairs, "_cached_deps", [])
+                        + getattr(cc, "_cached_deps", []))
     return out
 
 
@@ -2660,8 +2663,9 @@ def oracle_sql() -> dict[str, str]:
             p99 AS (SELECT cnt AS p99_cnt FROM ranked, pos WHERE ra = p99pos)
             SELECT cell, cnt, rnk, n_keys, total_cnt, max_cnt,
                    p50_cnt, p99_cnt,
-                   CAST((max_cnt * 1000 * n_keys
-                         - (max_cnt * 1000 * n_keys) % total_cnt) / total_cnt
+                   CAST((CAST(max_cnt AS HUGEINT) * 1000 * n_keys
+                         - (CAST(max_cnt AS HUGEINT) * 1000 * n_keys)
+                           % total_cnt) / total_cnt
                         AS BIGINT) AS skew_x1000
             FROM ranked, pos, p50, p99 WHERE rnk <= 5
         """,

@@ -298,6 +298,13 @@ def items(df: DataFrame, bbox=None, intersects: bytes | None = None,
         raise QueryError("after_values requires sortby (the cursor values "
                          "pair with the sort columns); for id-only keyset "
                          "paging pass after_id alone")
+    if after_values is not None and after_id is None:
+        # round-5 review: after_values+sortby WITHOUT after_id passed both
+        # guards above, then the cursor application (gated on after_id)
+        # silently dropped the values — the same mis-paging in a new coat
+        raise QueryError("after_values requires after_id (the composite "
+                         "cursor's final tie-break key from the previous "
+                         "page's last row)")
     pred = F.lit(True)
     if bbox is not None:
         cell = "cell_prefix" if "cell_prefix" in df.columns else None
@@ -610,7 +617,7 @@ def _geojson_geometry_udf(crs: str = "CRS84"):
 
 
 def feature_collection(df: DataFrame, number_matched: int | None = None,
-                       id_col: str = "Paikallinen_tunniste",
+                       id_col: str | None = None,
                        crs: str = "CRS84", representation: str = "center",
                        links: list[dict] | None = None,
                        timestamp: str | None = None) -> str:

@@ -537,7 +537,6 @@ def write_gram_store(benchmark: DataFrame, root: str, n: int = 8,
     gram build runs ONCE at store-build time, and every corpus batch/run
     after that only scans the pre-distinct 8-byte hashes (broadcastable
     by construction — eval sets are thousands of docs, not billions)."""
-    import json
     import time
 
     hashes = (_bench_grams(benchmark, n, text_col, id_col)
@@ -545,8 +544,10 @@ def write_gram_store(benchmark: DataFrame, root: str, n: int = 8,
     hashes.coalesce(8).write.mode("overwrite").parquet(root)
     n_grams = benchmark.sparkSession.read.parquet(root).count()
     doc = {"n": n, "n_grams": n_grams, "created": time.time()}
-    with open(os.path.join(root, "_gram_manifest.json"), "w") as f:
-        json.dump(doc, f)
+    # tmp+rename (sources.table._write_json_atomic): a crash mid-dump must
+    # not leave a truncated manifest that fails every later read
+    from ..sources.table import _write_json_atomic
+    _write_json_atomic(os.path.join(root, "_gram_manifest.json"), doc)
     return doc
 
 
@@ -734,6 +735,7 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     und0.unpersist()
     labels = (verts.repartition(iter_parts, "id")
                    .select("id", F.col("id").alias("comp")).localCheckpoint())
+    ckpts = [labels]  # superseded checkpoints released as the loop advances
     try:
         for rounds in range(1, max_iter + 1):
             nbr = (und.join(labels, und["src"] == labels["id"])
@@ -767,6 +769,12 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
             new = mins.localCheckpoint(eager=False)
             changed = new.filter(F.col("comp") < F.col("_old")).count()
             labels = new.select("id", "comp")
+            ckpts.append(new)
+            # the count above materialized `new`; its predecessor (and the
+            # first round's `und` dependency) are no longer readable from
+            # the result — release instead of leaking checkpoint blocks
+            # across the 62-query shared session (round-5 review)
+            ckpts.pop(0).unpersist()
             if changed == 0:
                 labels._cc_rounds = rounds
                 break
@@ -777,9 +785,16 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} "
                 "rounds (component diameter exceeds max_iter); raise it")
+        und.unpersist()
+        # the final checkpoint backs the returned frame: hand its release
+        # to the caller via the repo's deterministic-release convention
+        labels._cached_deps = list(ckpts)
         return labels
-    finally:
-        pass
+    except Exception:
+        und.unpersist()
+        for c in ckpts:
+            c.unpersist()
+        raise
 
 
 def connected_components_incremental(old_labels: DataFrame,
@@ -833,7 +848,7 @@ def connected_components_incremental(old_labels: DataFrame,
                                vertices=verts, max_iter=max_iter)
     untouched = old_labels.join(affected_comps, "comp", "left_anti")
     out = untouched.unionByName(sub.select("id", "comp"))
-    out._cached_deps = [affected]
+    out._cached_deps = [affected] + getattr(sub, "_cached_deps", [])
     return out
 
 

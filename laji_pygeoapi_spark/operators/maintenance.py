@@ -287,7 +287,13 @@ def key_skew(df: DataFrame, key_col: str, top: int = 5) -> DataFrame:
                   Window.orderBy(F.col("cnt").desc(), F.col(key_col).asc()))))
 
     def fdiv(a: Column, b: Column) -> Column:
-        # exact positive-integer floor division (both engines agree on %)
+        # exact positive-integer floor division.  Via DECIMAL(38,0): the
+        # long form overflows at max_cnt*1000*n_keys ~ 1e19 and double
+        # division rounds past 2^53 (round-5 review) — decimal keeps the
+        # product and remainder exact at any advertised scale; quotients
+        # are bounded by 1000*n_keys so the final long cast is safe.
+        a = a.cast("decimal(38,0)")
+        b = b.cast("decimal(38,0)")
         return ((a - a % b) / b).cast("long")
 
     summ = (counts.agg(F.count(F.lit(1)).alias("n_keys"),

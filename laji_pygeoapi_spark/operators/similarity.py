@@ -632,7 +632,9 @@ def cluster_balanced_sample(emb: DataFrame, k: int = 8, iters: int = 2,
     from pyspark.sql import Window
     asg = kmeans_assign(emb, k=k, iters=iters, id_col=id_col,
                         vec_col=vec_col)
-    key = (F.col(id_col) * F.lit(2654435761)) % F.lit(1048576)
+    # (a%m)*K % m == a*K % m — overflow-safe at any id, oracle-identical
+    key = (F.pmod(F.col(id_col), F.lit(1048576))
+           * F.lit(2654435761)) % F.lit(1048576)
     w = Window.partitionBy("cluster").orderBy(key.asc(), F.col(id_col).asc())
     return (asg.withColumn("rnk", F.row_number().over(w).cast("int"))
                .filter(F.col("rnk") <= quota)

@@ -460,11 +460,26 @@ def compact_quantile_store(spark, root: str, group_cols=()) -> None:
     import json
     import os
     import shutil
+    import time
     # sweep torn deltas (no _SUCCESS): readers already skip them; a
     # replayed batch_id overwrites its dir anyway, and an abandoned one is
-    # garbage that would otherwise accumulate forever
+    # garbage that would otherwise accumulate forever.  GRACE WINDOW
+    # (round-5 review): a delta being written RIGHT NOW also has no
+    # _SUCCESS yet — deleting it under a concurrent writer could race the
+    # committer into a marker-with-no-part-files dir whose counters are
+    # silently lost.  Only deltas untouched for ``torn_grace_s`` are
+    # abandoned enough to sweep.
+    torn_grace_s = 600.0
+    now = time.time()
     for torn in _torn_quantile_deltas(root):
-        shutil.rmtree(torn, ignore_errors=True)
+        try:
+            newest = max((os.path.getmtime(os.path.join(torn, f))
+                          for f in os.listdir(torn)),
+                         default=os.path.getmtime(torn))
+        except OSError:
+            continue  # vanished mid-scan: a writer/committer owns it
+        if now - newest > torn_grace_s:
+            shutil.rmtree(torn, ignore_errors=True)
     live = _live_quantile_deltas(root)
     if len(live) <= 1:
         return

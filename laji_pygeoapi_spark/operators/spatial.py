@@ -534,6 +534,19 @@ def knn_table_join(left: DataFrame, right: DataFrame, k: int = 3,
         stats = rp.agg(F.count(F.lit(1)).alias("n"),
                        F.min("_rlon").alias("x0"), F.max("_rlon").alias("x1"),
                        F.min("_rlat").alias("y0"), F.max("_rlat").alias("y1")).first()
+        if stats["n"] == 0:
+            # round-5 review: the bbox stats are NULL on an empty right
+            # side and the density arithmetic raised TypeError; an empty
+            # join result (correct schema, zero rows) is the right answer
+            empty = (left.select(F.col(left_id)).limit(0)
+                     .withColumn(right_id,
+                                 F.lit(None).cast(right.schema[right_id]
+                                                  .dataType))
+                     .withColumn("dist_m", F.lit(None).cast("double"))
+                     .withColumn("rank", F.lit(None).cast("int")))
+            for c in cached:
+                c.unpersist()
+            return empty
         area = max((stats["x1"] - stats["x0"]) * (stats["y1"] - stats["y0"]), 1e-9)
         per_deg2 = stats["n"] / area
         kth_deg = (k / (np.pi * max(per_deg2, 1e-9))) ** 0.5

@@ -250,8 +250,13 @@ def assign_shards(df: DataFrame, n_shards: int = 8,
     with :func:`pack_sequences`'s bucket prefix-sum instead.  The hash
     is the Knuth multiplicative key both engines compute bit-identically
     (no xxhash in the oracle's SQL dialect)."""
-    k = key if key is not None else F.pmod(F.col(id_col) * F.lit(2654435761),
-                                           F.lit(1 << 20))
+    # id reduced mod 2^20 BEFORE the multiply: (a%m)*K % m == a*K % m, so
+    # the key is bit-identical to the oracle's direct form on any id while
+    # never overflowing int64 under ANSI (round-5 review: doc_id > ~3.47e9
+    # made the raw product throw at exactly the scale this op advertises)
+    k = key if key is not None else F.pmod(
+        F.pmod(F.col(id_col), F.lit(1 << 20)) * F.lit(2654435761),
+        F.lit(1 << 20))
     out = (df.withColumn("_key", k)
              .withColumn("shard", F.pmod(F.col("_key"),
                                          F.lit(n_shards)).cast("int")))

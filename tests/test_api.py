@@ -467,6 +467,11 @@ def test_composite_keyset_paging_with_sortby(spark, occ):
     # silently ignoring the cursor values mis-pages the caller
     with pytest.raises(API.QueryError, match="after_values requires sortby"):
         API.items(occ, limit=10, after_id="x", after_values=["Espoo"])
+    # round-5 review: after_values WITH sortby but WITHOUT after_id slipped
+    # both guards and the cursor was silently dropped at application
+    with pytest.raises(API.QueryError, match="after_values requires after_id"):
+        API.items(occ, limit=10, after_values=["Espoo"],
+                  sortby=[("Kunta", "+")])
 
 
 def test_composite_keyset_property_random_orderings(spark):
@@ -521,3 +526,18 @@ def test_to_geojson_autodetects_image_table_id(spark):
     f = json.loads(rows[0]["feature_json"])
     assert f["type"] == "Feature" and f["geometry"]["type"] == "Point"
     assert f["id"].startswith("IMG_")
+
+
+def test_feature_collection_autodetects_image_table_id(spark):
+    """feature_collection must inherit the id auto-detect instead of
+    hardcoding the occurrence id column (round-5 review: the fix was
+    applied one level too shallow and the envelope path still broke on
+    the images store)."""
+    import json
+    from laji_pygeoapi_spark.sources import fixtures
+    df = fixtures.images_df(spark, 10, with_bytes=False)
+    doc = json.loads(API.feature_collection(
+        df.limit(3), timestamp="2026-08-17T00:00:00Z"))
+    assert doc["type"] == "FeatureCollection"
+    assert len(doc["features"]) == 3
+    assert all(f["id"].startswith("IMG_") for f in doc["features"])

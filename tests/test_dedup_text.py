@@ -903,3 +903,33 @@ def test_cluster_balanced_sample_caps_every_cluster(spark):
     for rows_c in per.values():
         assert sorted(r["rnk"] for r in rows_c) == list(
             range(1, len(rows_c) + 1))
+
+
+def test_connected_components_releases_iteration_checkpoints(spark):
+    """The CC loop must free superseded per-round checkpoints and hand the
+    final one to the caller via _cached_deps (round-5 review: checkpoint
+    blocks accumulated across the shared 60+-query session)."""
+    edges = spark.createDataFrame(
+        pd.DataFrame([{"id_a": i, "id_b": i + 1} for i in range(0, 40, 2)]))
+    out = DD.connected_components(edges)
+    deps = getattr(out, "_cached_deps", [])
+    assert len(deps) == 1  # exactly the final checkpoint survives
+    got = {r["id"]: r["comp"] for r in out.collect()}
+    assert got[1] == 0 and got[39] == 38
+    for d in deps:
+        d.unpersist()
+
+
+def test_assign_shards_huge_ids_no_overflow(spark):
+    """Knuth shard key must not overflow ANSI int64 for ids beyond ~3.5e9
+    and must equal the reduced-modulus form (round-5 review)."""
+    from laji_pygeoapi_spark.plans.curation import assign_shards
+    big = [10_000_000_000 + i for i in range(6)] + [7, 99]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": big,
+                                             "text": ["x"] * len(big),
+                                             "source": ["s"] * len(big)}))
+    out = assign_shards(df, n_shards=4).collect()
+    assert len(out) == len(big)
+    for r in out:
+        expect = ((r["doc_id"] % (1 << 20)) * 2654435761 % (1 << 20)) % 4
+        assert r["shard"] == expect

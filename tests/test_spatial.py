@@ -362,3 +362,18 @@ def test_knn_table_join_fallback_cap_raises(spark):
         SP.knn_table_join(lefts, pts, k=3, res=7, ring=1,
                           right_id="pid", exclude_self=True,
                           max_fallback_rows=10)
+
+
+def test_knn_table_join_empty_right_side(spark):
+    """Auto-sizing on an empty right table must return an empty result
+    with the join schema, not TypeError on NULL bbox stats (round-5
+    review)."""
+    import pandas as pd
+    lefts = spark.createDataFrame(pd.DataFrame(
+        [{"qid": 1, "lon": 24.9, "lat": 60.2}]))
+    empty_right = spark.createDataFrame(
+        [], schema="pid bigint, lon double, lat double")
+    out = SP.knn_table_join(lefts, empty_right, k=3, res=None, ring=None,
+                            left_id="qid", right_id="pid")
+    assert out.count() == 0
+    assert set(out.columns) == {"qid", "pid", "dist_m", "rank"}
