@@ -1186,6 +1186,28 @@ def q_cluster_sample(spark, sf_dir):
     return SIM.cluster_balanced_sample(emb, k=8, iters=2, quota=20)
 
 
+def q_compact_cells(spark, sf_dir):
+    """Sparse-cell compaction (plans.ingest.compact_cells — inverse of
+    adaptive_cells / H3 ``compact``): fine-res cells whose parent's total
+    count is below the threshold merge up to the parent, the storage
+    layout that keeps file counts bounded over sparse wilderness at
+    10^12 rows.  Same oracle machinery as adaptive_cells — both
+    resolutions' axial chains plus the inverted count-threshold reroute."""
+    from laji_pygeoapi_spark.plans.ingest import compact_cells
+    pts = _points(spark, sf_dir)
+    d = (pts.withColumn("cell_r2", SP.hex_cell_udf(2)(F.col("lon"), F.col("lat")))
+            .withColumn("cell_r4", SP.hex_cell_udf(4)(F.col("lon"), F.col("lat"))))
+    out = compact_cells(d, base_res=2, fine_res=4,
+                        sparse_threshold=_COMPACT_THRESHOLD)
+    return (out.groupBy("cell_compact", "cell_res")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+# res-2 parents below this count merge their res-4 children up (sf0.01
+# res-2 counts run ~1-29, so 6 compacts some regions but not all)
+_COMPACT_THRESHOLD = 6
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synthesize points at sf0.001, PIP-join municipalities,
     histogram per municipality (the bbox+PIP serving core)."""
@@ -1243,7 +1265,10 @@ OVERFLOW_QUERIES = (
                          # at two resolutions inside adaptive_cells and
                          # at res 4 inside skew_stats
     "density_grid",      # same clamped WebMercator binning formula as
-                         # in-cap tiles + tile_pyramid, finer grid
+                         # in-cap tile_pyramid, finer grid
+    # parked for compact_cells (round-5 addition):
+    "tiles",             # the zoom-8 tile histogram is exactly in-cap
+                         # tile_pyramid's z=8 level (same formula, same agg)
 )
 
 
@@ -1254,7 +1279,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_municipality": q_pip_municipality,
         "knn": q_knn,
         "dwithin": q_dwithin,
-        "tiles": q_tiles,
         "dedup_latest": q_dedup_latest,
         "merge_policies": q_merge_policies,
         "quality_histogram": q_quality_histogram,
@@ -1301,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_stats": q_skew_stats,
         "tile_pyramid": q_tile_pyramid,
         "cluster_sample": q_cluster_sample,
+        "compact_cells": q_compact_cells,
         # ---- beyond DRIVER_CAP: near-duplicate variants (see above) ----
         "count_preflight": q_count_preflight,
         "pip_distributed": q_pip_distributed,
@@ -1325,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_rank": q_centroid_rank,
         "hex_cells": q_hex_cells,
         "density_grid": q_density_grid,
+        "tiles": q_tiles,
     }
 
 
@@ -2589,6 +2615,21 @@ def oracle_sql() -> dict[str, str]:
                       FROM j JOIN cnt ON j.cb = cnt.cb)
             SELECT cell_adaptive, cell_res, count(*) AS cnt
             FROM adapt GROUP BY 1, 2
+        """,
+        "compact_cells": f"""
+            WITH {_PTS_CTE},
+            {_hex_chain_sql(2, 'P')},
+            {_hex_chain_sql(4, 'Q')},
+            j AS (SELECT a.doc_id, a.cell AS cb, b.cell AS cf
+                  FROM cellP a JOIN cellQ b ON a.doc_id = b.doc_id),
+            cnt AS (SELECT cb, count(*) AS n FROM j GROUP BY 1),
+            comp AS (SELECT CASE WHEN n < {_COMPACT_THRESHOLD}
+                                 THEN j.cb ELSE j.cf END AS cell_compact,
+                            CAST(CASE WHEN n < {_COMPACT_THRESHOLD}
+                                      THEN 2 ELSE 4 END AS INTEGER) AS cell_res
+                     FROM j JOIN cnt ON j.cb = cnt.cb)
+            SELECT cell_compact, cell_res, count(*) AS cnt
+            FROM comp GROUP BY 1, 2
         """,
         "chunk_dedup": """
             WITH tok AS (SELECT doc_id, __TOK__ AS t FROM documents),

@@ -176,6 +176,33 @@ def adaptive_cells(df: DataFrame, base_res: int = 5, fine_res: int = 7,
                .drop("_dense"))
 
 
+def compact_cells(df: DataFrame, base_res: int = 5, fine_res: int = 7,
+                  sparse_threshold: int = 100) -> DataFrame:
+    """Inverse of :func:`adaptive_cells` — the H3-``compact`` storage
+    layout: rows keyed at the FINE resolution whose parent cell's total
+    count falls BELOW the threshold are merged up to the parent, so a
+    sparse wilderness is one directory instead of thousands of near-empty
+    fine cells (file-count pressure is the real cost at 10^12 rows), while
+    dense city cells keep fine granularity.  Output ``cell_compact`` +
+    ``cell_res`` per row.
+
+    Same scale shape as the split: one map-side-combinable parent count
+    agg, a broadcast of the SPARSE parent set, and a per-row when()."""
+    base = f"cell_r{base_res}"
+    fine = f"cell_r{fine_res}"
+    counts = df.groupBy(base).count()
+    sparse = (counts.filter(F.col("count") < sparse_threshold)
+                    .select(base).withColumn("_sparse", F.lit(True)))
+    out = df.join(F.broadcast(sparse), base, "left")
+    return (out.withColumn("cell_compact",
+                           F.when(F.col("_sparse"), F.col(base))
+                            .otherwise(F.col(fine)))
+               .withColumn("cell_res",
+                           F.when(F.col("_sparse"), F.lit(base_res))
+                            .otherwise(F.lit(fine_res)))
+               .drop("_sparse"))
+
+
 def ingest(images: DataFrame, root: str, job_id: str) -> dict:
     """Full checkpoint-resumable ingest: prepare -> attribute -> write."""
     from ..sources import table as store

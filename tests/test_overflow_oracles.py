@@ -50,7 +50,7 @@ def test_contract_ordering_invariants():
                  "semantic_dedup", "dup_gram_fraction", "shard_assign",
                  "adaptive_cells", "top_terms", "curation_funnel",
                  "chunk_dedup", "kmeans", "skew_stats",
-                 "tile_pyramid", "cluster_sample"):
+                 "tile_pyramid", "cluster_sample", "compact_cells"):
         assert must in in_cap, f"{must} overflowed the driver cap"
     oracles = entrymod.oracle_sql()
     for name in entrymod.OVERFLOW_QUERIES:

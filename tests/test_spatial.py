@@ -377,3 +377,22 @@ def test_knn_table_join_empty_right_side(spark):
                             left_id="qid", right_id="pid")
     assert out.count() == 0
     assert set(out.columns) == {"qid", "pid", "dist_m", "rank"}
+
+
+def test_compact_cells_merges_sparse_regions(spark):
+    from laji_pygeoapi_spark.plans.ingest import compact_cells
+    imgs = SP.with_cells(fixtures.images_df(spark, 2000, with_bytes=False),
+                         hex_resolutions=(3, 5, 6, 7))
+    out = compact_cells(imgs, base_res=3, fine_res=6,
+                        sparse_threshold=50).cache()
+    assert out.count() == 2000  # row-preserving
+    res_counts = {r["cell_res"]: r["count"]
+                  for r in out.groupBy("cell_res").count().collect()}
+    assert res_counts.get(3, 0) > 0  # sparse wilderness merged up
+    assert res_counts.get(6, 0) > 0  # dense hotspot keeps fine cells
+    # invariant vs the split: every row whose parent is sparse is coarse
+    bad = (out.join(out.groupBy("cell_r3").agg(F.count(F.lit(1)).alias("n")),
+                    "cell_r3")
+              .filter((F.col("n") < 50) & (F.col("cell_res") != 3)).count())
+    assert bad == 0
+    out.unpersist()
