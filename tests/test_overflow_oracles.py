@@ -1,9 +1,10 @@
 """Oracle checks for the queries() entries beyond the driver's 50-entry
 correctness cap (round-3 verdict: overflow entries fell off the official
-green list).  The contract keeps all 57 queries; the 7 near-duplicate
-variants parked beyond the cap (``__spark_entry__.OVERFLOW_QUERIES``) are
-verified HERE on every pytest run, with the same rowcount + schema +
-order-insensitive value comparison the driver applies to the first 50.
+green list).  Every near-duplicate variant parked beyond the cap
+(``__spark_entry__.OVERFLOW_QUERIES`` — one row per rotation, each with a
+one-line justification naming its in-cap sibling) is verified HERE on
+every pytest run, with the same rowcount + schema + order-insensitive
+value comparison the driver applies to the first 50.
 """
 
 import duckdb
