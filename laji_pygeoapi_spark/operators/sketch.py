@@ -447,7 +447,8 @@ def _torn_quantile_deltas(root: str) -> list[str]:
             and not os.path.exists(os.path.join(root, d, "_SUCCESS"))]
 
 
-def compact_quantile_store(spark, root: str, group_cols=()) -> None:
+def compact_quantile_store(spark, root: str, group_cols=(),
+                           torn_grace_s: float = 600.0) -> None:
     """Fold the live delta directories into one.  Crash-safe by
     supersession marker, not by ordering hope: the compacted delta is
     fully written (with ``_superseded.json`` naming its inputs) and
@@ -468,8 +469,8 @@ def compact_quantile_store(spark, root: str, group_cols=()) -> None:
     # _SUCCESS yet — deleting it under a concurrent writer could race the
     # committer into a marker-with-no-part-files dir whose counters are
     # silently lost.  Only deltas untouched for ``torn_grace_s`` are
-    # abandoned enough to sweep.
-    torn_grace_s = 600.0
+    # abandoned enough to sweep (``torn_grace_s`` parameterised so tests /
+    # offline maintenance that KNOW no writer is live can pass 0).
     now = time.time()
     for torn in _torn_quantile_deltas(root):
         try:

@@ -707,7 +707,9 @@ def test_quantile_store_skips_torn_delta(spark, tmp_path):
             shutil.copy(os.path.join(src, f), os.path.join(torn, f))
     got = {r["q"]: r["est"] for r in SK.read_quantile_store(spark, root).collect()}
     assert got == want, "torn delta must not contribute to the merge"
-    SK.compact_quantile_store(spark, root)
+    # grace window (round-5 fix) protects a delta a live writer may own;
+    # this test simulates an ABANDONED torn delta, so disable the grace
+    SK.compact_quantile_store(spark, root, torn_grace_s=0)
     assert not os.path.isdir(torn), "compaction must sweep the torn delta"
     got = {r["q"]: r["est"] for r in SK.read_quantile_store(spark, root).collect()}
     assert got == want
