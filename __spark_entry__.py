@@ -70,7 +70,21 @@ def _ship_package(spark: SparkSession) -> None:
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ship_package(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # the driver writes these tables as ONE parquet row group, so the
+        # scan is a single task no matter the core count — and these are
+        # exactly the tables whose queries do heavy per-row work (regex
+        # tokenize ~70 us/row, embedding math), which then serializes on
+        # one core (measured: tokenize alone 5.4 s single-task at sf1.0).
+        # _spread_small_input repartitions up to the cluster parallelism
+        # ONLY when the scan has fewer partitions (guide §2.5 input-skew
+        # remedy) — at real scale the scan already has thousands of
+        # splits and this is a metadata-only no-op.  Filters and column
+        # pruning push through the repartition to the scan unchanged.
+        from laji_pygeoapi_spark.operators.dedup import _spread_small_input
+        df = _spread_small_input(df)
+    return df
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,9 +472,14 @@ def q_embedding_neardup(spark, sf_dir):
     so the WHOLE operator is oracle-checked; cosines are excluded from the
     output (fp accumulation order differs across engines — pairs are the
     contract)."""
-    derived = _planted_embeddings(spark, sf_dir)
+    # persist the planted projection: embedding_neardup reads its input
+    # FOUR times (dim probe, bucket projection, both cosine re-attach
+    # sides) and each read re-ran the planted self-join (round-6)
+    derived = _planted_embeddings(spark, sf_dir).persist()
     out = DD.embedding_neardup(derived, threshold=0.95, tables=2, planes=8)
-    return out.select("id_a", "id_b")
+    out = out.select("id_a", "id_b")
+    out._cached_deps = [derived]
+    return out
 
 
 def q_semantic_dedup(spark, sf_dir):
@@ -474,24 +493,31 @@ def q_semantic_dedup(spark, sf_dir):
     themselves — so the oracle checks the full mapping, not just drops.
     Oracle: the whole chain in one SQL query (LSH bands + bucket cap +
     cosine verify + recursive-CTE components)."""
-    derived = _planted_embeddings(spark, sf_dir)
+    # persisted for the same reason as q_embedding_neardup, plus the CC
+    # vertex side reads it once more (round-6)
+    derived = _planted_embeddings(spark, sf_dir).persist()
     pairs = DD.embedding_neardup(derived, threshold=0.95, tables=2, planes=8)
     cc = DD.connected_components(pairs, vertices=derived.select("vec_id"))
     out = cc.select(F.col("id").alias("vec_id"),
                     F.col("comp").alias("rep_id"),
                     (F.col("id") == F.col("comp")).cast("long").alias("kept"))
-    out._cached_deps = getattr(cc, "_cached_deps", [])
+    out._cached_deps = getattr(cc, "_cached_deps", []) + [derived]
     return out
 
 
 def q_exact_dedup(spark, sf_dir):
-    """Exact dedup on normalized text (training-data op)."""
+    """Exact dedup on normalized text (training-data op).  The window is
+    keyed on the 64-bit fingerprint of the normalized token stream and the
+    shuffle carries ONLY (doc_id, fingerprint) — partitioning by the raw
+    normalized string shipped the full text through the exchange (same
+    hash-key contract as plans.curation: identical groups up to a 2^-64
+    collision; the oracle partitions by the string)."""
     from pyspark.sql import Window
     docs = _tbl(spark, sf_dir, "documents")
-    norm = F.array_join(TX.tokenize(F.col("text")), " ")
-    w = Window.partitionBy(norm).orderBy("doc_id")
-    return (docs.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1).select("doc_id"))
+    keyed = docs.select("doc_id", TX.fingerprint64(F.col("text")).alias("_fp"))
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    return (keyed.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") == 1).select("doc_id"))
 
 
 def q_jaccard_pairs(spark, sf_dir):

@@ -31,7 +31,8 @@ from . import text as TX
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id row per identical normalized text (deterministic)."""
-    keyed = df.withColumn("_fp", TX.fingerprint64(F.col(text_col)))
+    keyed = _spread_small_input(df).withColumn(
+        "_fp", TX.fingerprint64(F.col(text_col)))
     w = Window.partitionBy("_fp").orderBy(F.col(id_col))
     return (keyed.withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") == 1)
@@ -125,17 +126,9 @@ def _flatten_string_arrays(arrays: pd.Series) -> tuple[list, np.ndarray]:
 # ----------------------------------------------------------------- minhash
 
 
-def _spread_small_input(df: DataFrame) -> DataFrame:
-    """Repartition a narrow input up to the cluster's default parallelism.
-
-    Signature hashing is CPU-bound; a small table read from one parquet file
-    arrives as one partition and would serialize the whole UDF stage on one
-    core.  At real scale the scan already has thousands of partitions and
-    this is a no-op (getNumPartitions is metadata-only, no job)."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+# canonical implementation lives in text.py (every tokenize-staging
+# operator needs it); re-exported under the historical name
+_spread_small_input = TX.spread_small_input
 
 
 def _hash_params(num_perm: int, seed: int = 42):
@@ -330,14 +323,30 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     equivalence on every run).
 
     ``toks``: optional pre-tokenized projection (columns ``id``, ``_toks``)
-    shared with candidate generation — see :func:`minhash_pairs_verified`."""
+    shared with candidate generation — see :func:`minhash_pairs_verified`.
+
+    The candidate PAIR set is persisted here (it is tiny by LSH
+    construction and is read three times: both join sides and the
+    candidate-id prefilter) and registered on the result as
+    ``_cached_deps``.  The shingle projection is computed ONLY for
+    candidate ids (one semi-join against the pair endpoints): without the
+    prefilter the join evaluated the shingle transform over the ENTIRE
+    corpus on BOTH sides to serve a candidate set thousands of times
+    smaller (round-6; the broadcast pair join does not prune the probe
+    side's projections)."""
     if toks is None:
         toks = _spread_small_input(df.select(F.col(id_col).alias("_jid"),
                                              TX.tokenize(F.col(text_col)).alias("_toks")))
     else:
         toks = toks.select(F.col("id").alias("_jid"), "_toks")
-    sh = toks.select("_jid",
-                     F.array_distinct(_shingle_hashes(F.col("_toks"), shingle_n)).alias("_sh"))
+    pairs = pairs.persist()
+    cand_ids = (pairs.select(F.col("id_a").alias("_jid"))
+                     .unionByName(pairs.select(F.col("id_b").alias("_jid")))
+                     .distinct())
+    sh = (toks.join(cand_ids, "_jid", "left_semi")
+              .select("_jid",
+                      F.array_distinct(_shingle_hashes(F.col("_toks"),
+                                                       shingle_n)).alias("_sh")))
     a = sh.select(F.col("_jid").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_jid").alias("id_b"), F.col("_sh").alias("sh_b"))
     j = (a.join(pairs, "id_a").join(b, "id_b")
@@ -345,8 +354,10 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
               .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
               .withColumn("jaccard", F.when(F.col("uni") > 0, F.col("inter") / F.col("uni"))
                                       .otherwise(F.lit(0.0))))
-    return (j.filter(F.col("jaccard") >= threshold)
-             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    out = (j.filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    out._cached_deps = [pairs]
+    return out
 
 
 def minhash_pairs_verified(df: DataFrame, text_col: str = "text",
@@ -369,7 +380,7 @@ def minhash_pairs_verified(df: DataFrame, text_col: str = "text",
                                    shingle_n, toks=toks)
     out = jaccard_verify(df, pairs, text_col, id_col, shingle_n, threshold,
                          toks=toks)
-    out._cached_deps = [toks]
+    out._cached_deps = [toks] + getattr(out, "_cached_deps", [])
     return out
 
 
@@ -475,7 +486,7 @@ def embedding_neardup(df: DataFrame, vec_col: str = "embedding",
     self-join, bounded buckets); the final exact cosine uses JVM
     higher-order functions (zip_with/aggregate), no Python.
     """
-    from .similarity import cosine_expr, lsh_bucket_expr
+    from .similarity import dot_expr, lsh_bucket_expr, norm_expr
     # hyperplane dimension must match the data (zip_with null-pads a
     # mismatch, collapsing every row into bucket 0 = quadratic join)
     dim_row = df.select(F.size(vec_col).alias("d")).first()
@@ -489,11 +500,23 @@ def embedding_neardup(df: DataFrame, vec_col: str = "embedding",
         for t in range(tables)])).alias("tb")).select(
             "id", F.col("tb.band").alias("band"), F.col("tb.bucket").alias("bucket"))
     pairs = _bucket_pairs(banded)
-    v = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
-    a = v.select(F.col("_vid").alias("id_a"), F.col("_v").alias("v_a"))
-    bb = v.select(F.col("_vid").alias("id_b"), F.col("_v").alias("v_b"))
+    # per-VECTOR norms are computed once here instead of once per pair:
+    # higher-order array expressions run interpreted (no codegen), so the
+    # candidate-side cosine was 3 full dim-length folds per pair — the
+    # precomputed-norm form leaves one (the dot) and is bit-identical
+    # (same per-vector fold, same order, just evaluated n times, not n^2)
+    v = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"),
+                  norm_expr(F.col(vec_col)).alias("_n"))
+    a = v.select(F.col("_vid").alias("id_a"), F.col("_v").alias("v_a"),
+                 F.col("_n").alias("n_a"))
+    bb = v.select(F.col("_vid").alias("id_b"), F.col("_v").alias("v_b"),
+                  F.col("_n").alias("n_b"))
+    denom = F.col("n_a") * F.col("n_b")
+    cosine = F.when(denom > 0,
+                    dot_expr(F.col("v_a"), F.col("v_b")) / denom) \
+              .otherwise(F.lit(0.0))
     return (a.join(pairs, "id_a").join(bb, "id_b")
-             .withColumn("cosine", cosine_expr(F.col("v_a"), F.col("v_b")))
+             .withColumn("cosine", cosine)
              .filter(F.col("cosine") >= threshold)
              .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
@@ -512,21 +535,32 @@ def ngram_overlap(docs: DataFrame, benchmark: DataFrame, n: int = 8,
     risk is 2^-64 per pair (the DuckDB oracle joins the raw strings —
     agreement also validates the hash path)."""
     bench_hashes = (_bench_grams(benchmark, n, text_col, id_col)
-                    .select(F.xxhash64("g").alias("gh")).distinct())
-    doc_grams = (_bench_grams(docs, n, text_col, id_col)
-                 .withColumn("gh", F.xxhash64("g")))
+                    .select("gh").distinct())
+    doc_grams = _bench_grams(docs, n, text_col, id_col)
     hits = doc_grams.join(F.broadcast(bench_hashes), "gh")
+    # per-doc grams are already distinct (array_distinct upstream) and the
+    # bench side is distinct too, so each surviving row is one distinct
+    # overlap — plain count == countDistinct without the extra dedup pass
+    # (both deviate from the string oracle only under a within-doc 2^-64
+    # collision, the accepted class)
     return (hits.groupBy(id_col)
-                .agg(F.countDistinct("gh").alias("n_overlaps")))
+                .agg(F.count(F.lit(1)).alias("n_overlaps")))
 
 
 def _bench_grams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
-    """Distinct per-doc word n-grams of ``df`` as (id, g) rows."""
-    staged = (df.select(id_col, text_col)
-                .withColumn("_toks", TX.tokenize(F.col(text_col))))
-    g = F.array_distinct(TX.shingles_from_tokens(F.col("_toks"), n))
-    return (staged.select(id_col, F.explode(g).alias("g"))
-                  .filter(F.col("g") != ""))
+    """Distinct per-doc word n-gram HASHES of ``df`` as (id, gh) rows.
+
+    The hash is xxhash64 over the n-token WINDOW (``_shingle_hashes``),
+    never a built gram string: hash equality ≡ string equality (the
+    space join is injective on tokens), and the string build +
+    array_distinct over strings dominated the explode stage (round-6).
+    Token-less docs are dropped (they had only the '' gram before, which
+    was filtered) — the match set is unchanged."""
+    staged = (_spread_small_input(df.select(id_col, text_col))
+                .withColumn("_toks", TX.tokenize(F.col(text_col)))
+                .filter(F.size("_toks") > 0))
+    g = F.array_distinct(_shingle_hashes(F.col("_toks"), n))
+    return staged.select(id_col, F.explode(g).alias("gh"))
 
 
 def write_gram_store(benchmark: DataFrame, root: str, n: int = 8,
@@ -537,17 +571,35 @@ def write_gram_store(benchmark: DataFrame, root: str, n: int = 8,
     gram build runs ONCE at store-build time, and every corpus batch/run
     after that only scans the pre-distinct 8-byte hashes (broadcastable
     by construction — eval sets are thousands of docs, not billions)."""
+    import shutil
     import time
 
+    # VERSIONED data dir + manifest flip (round-5 ADVICE): the previous
+    # in-place overwrite deleted the old parquet AND manifest before the
+    # new manifest landed, so a crash mid-rebuild (or a concurrent
+    # reader) saw a manifest-less or half-written store.  Now the new
+    # grams land beside the old ones, the atomic manifest write IS the
+    # commit point, and superseded data dirs are swept only after it.
+    tag = f"{int(time.time() * 1000):x}"
+    data_name = f"grams-{tag}"
     hashes = (_bench_grams(benchmark, n, text_col, id_col)
-              .select(F.xxhash64("g").alias("gh")).distinct())
-    hashes.coalesce(8).write.mode("overwrite").parquet(root)
-    n_grams = benchmark.sparkSession.read.parquet(root).count()
-    doc = {"n": n, "n_grams": n_grams, "created": time.time()}
+              .select("gh").distinct())
+    hashes.coalesce(8).write.mode("overwrite").parquet(
+        os.path.join(root, data_name))
+    n_grams = benchmark.sparkSession.read.parquet(
+        os.path.join(root, data_name)).count()
+    # gram_key names the hash construction: readers must gram the corpus
+    # side the same way or silently match nothing (round-6 switched from
+    # xxhash64-of-gram-string to xxhash64-of-token-window)
+    doc = {"n": n, "n_grams": n_grams, "gram_key": "xxh64-token-window",
+           "data": data_name, "created": time.time()}
     # tmp+rename (sources.table._write_json_atomic): a crash mid-dump must
     # not leave a truncated manifest that fails every later read
     from ..sources.table import _write_json_atomic
     _write_json_atomic(os.path.join(root, "_gram_manifest.json"), doc)
+    for d in os.listdir(root):
+        if d.startswith("grams-") and d != data_name:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     return doc
 
 
@@ -562,13 +614,28 @@ def ngram_overlap_stored(spark, docs: DataFrame, store_root: str,
     import json
 
     with open(os.path.join(store_root, "_gram_manifest.json")) as f:
-        n = json.load(f)["n"]
-    bench_hashes = spark.read.parquet(store_root)
-    doc_grams = (_bench_grams(docs, n, text_col, id_col)
-                 .select(id_col, F.xxhash64("g").alias("gh")))
+        man = json.load(f)
+    n = man["n"]
+    key = man.get("gram_key", "xxh64-gram-string")
+    # "data" = versioned subdir (round-6 atomic rebuild); absent on
+    # legacy stores whose parquet sits at the root
+    bench_hashes = spark.read.parquet(
+        os.path.join(store_root, man["data"]) if "data" in man
+        else store_root)
+    if key == "xxh64-token-window":
+        doc_grams = _bench_grams(docs, n, text_col, id_col)
+    else:
+        # legacy store (pre round-6): grams were hashed as strings —
+        # reproduce that construction so old stores stay readable
+        staged = (docs.select(id_col, text_col)
+                      .withColumn("_toks", TX.tokenize(F.col(text_col))))
+        g = F.array_distinct(TX.shingles_from_tokens(F.col("_toks"), n))
+        doc_grams = (staged.select(id_col, F.explode(g).alias("g"))
+                           .filter(F.col("g") != "")
+                           .select(id_col, F.xxhash64("g").alias("gh")))
     hits = doc_grams.join(F.broadcast(bench_hashes), "gh")
     return (hits.groupBy(id_col)
-                .agg(F.countDistinct("gh").alias("n_overlaps")))
+                .agg(F.count(F.lit(1)).alias("n_overlaps")))
 
 
 def dup_gram_fraction(docs: DataFrame, n: int = 5, min_df: int = 2,
@@ -580,26 +647,36 @@ def dup_gram_fraction(docs: DataFrame, n: int = 5, min_df: int = 2,
     exact and MinHash dedup both miss (no single near-duplicate partner —
     the duplication is spread across thousands of docs).
 
-    Scale shape: ONE tokenize pass staged into its own projection, grams
-    exploded to 64-bit hashes; the gram document-frequency agg and the
-    gram-keyed join SHARE the same hash exchange (ReuseExchange — the
-    gram relation shuffles once), then a map-side-combinable per-doc agg.
-    Hot grams (stopword runs) are AQE skew-join territory; nothing is
-    persisted or collected.  Fraction is an exact-integer division
-    rounded to 6 places (cross-engine-stable: same ints -> same double)."""
+    Scale shape: tokenize staged into its own projection, grams exploded
+    as 64-bit HASHES OF THE TOKEN WINDOW (``_shingle_hashes`` — never a
+    gram string; building + array_distinct'ing n-token strings per row
+    was the dominant per-task cost, and hash equality ≡ string equality
+    because the space-join is injective on tokens).  Per-gram document
+    frequency is a plain ``count``: the per-doc ``array_distinct`` makes
+    (doc, gram) rows unique by construction, so countDistinct's extra
+    dedup pass bought nothing (both forms deviate from the string oracle
+    only under a within-doc 2^-64 hash collision — the accepted class).
+    The probe side left-joins only the grams ABOVE ``min_df`` (the build
+    relation carries just the heavy keys, AQE broadcasts it when small),
+    then a map-side-combinable per-doc agg.  Hot grams (stopword runs)
+    are AQE skew-join territory; nothing is persisted or collected.
+    Fraction is an exact-integer division rounded to 6 places
+    (cross-engine-stable: same ints -> same double)."""
     from . import text as TXO
 
-    staged = (docs.select(id_col, text_col)
-                  .withColumn("_toks", TXO.tokenize(F.col(text_col))))
-    g = F.array_distinct(TXO.shingles_from_tokens(F.col("_toks"), n))
-    grams = (staged.select(id_col, F.explode(g).alias("g"))
-                   .filter(F.col("g") != "")
-                   .select(id_col, F.xxhash64("g").alias("gh")))
-    gram_df = grams.groupBy("gh").agg(F.countDistinct(id_col).alias("_df"))
-    joined = grams.join(gram_df, "gh")
+    staged = (_spread_small_input(docs.select(id_col, text_col))
+                  .withColumn("_toks", TXO.tokenize(F.col(text_col)))
+                  .filter(F.size("_toks") > 0))
+    g = F.array_distinct(_shingle_hashes(F.col("_toks"), n))
+    grams = staged.select(id_col, F.explode(g).alias("gh"))
+    heavy = (grams.groupBy("gh").agg(F.count(F.lit(1)).alias("_df"))
+                  .filter(F.col("_df") >= min_df)
+                  .select("gh", F.lit(True).alias("_dup")))
+    joined = grams.join(heavy, "gh", "left")
     return (joined.groupBy(id_col)
                   .agg(F.count(F.lit(1)).alias("n_grams"),
-                       F.sum((F.col("_df") >= min_df).cast("long")).alias("n_dup"))
+                       F.coalesce(F.sum(F.col("_dup").cast("long")),
+                                  F.lit(0)).alias("n_dup"))
                   .withColumn("dup_frac",
                               F.round(F.col("n_dup") / F.col("n_grams"), 6)))
 
@@ -625,24 +702,37 @@ def chunk_dedup(docs: DataFrame, width: int = 10, min_docs: int = 2,
     ``string_agg(... ORDER BY idx)`` reproduces it byte-identically.
 
     Returns (id, n_chunks, n_removed, text_clean)."""
-    staged = (docs.select(id_col, text_col)
+    staged = (_spread_small_input(docs.select(id_col, text_col))
                   .withColumn("_toks", TX.tokenize(F.col(text_col)))
                   .filter(F.size("_toks") > 0))
     n_chunks = F.ceil(F.size("_toks") / F.lit(width)).cast("int")
-    chunk_at = lambda i: F.array_join(  # noqa: E731 — 1-based slice start
-        F.slice(F.col("_toks"), (i - F.lit(1)) * width + F.lit(1), width), " ")
+    # chunks explode as TOKEN SLICES; the join key is the hash of the
+    # slice (hash equality ≡ chunk-string equality: the space join is
+    # injective on tokens) and the rebuild string derives from the slice
+    # in a separate column — so pass 1 (the heavy-set agg), which never
+    # touches ``chunk``, prunes the string build entirely instead of
+    # paying an array_join per chunk per scan (round-6)
+    chunk_at = lambda i: F.slice(  # noqa: E731 — 1-based slice start
+        F.col("_toks"), (i - F.lit(1)) * width + F.lit(1), width)
     exploded = (staged.select(
                     id_col,
                     F.posexplode(F.transform(F.sequence(F.lit(1), n_chunks),
-                                             chunk_at)).alias("_i", "chunk"))
-                .filter(F.col("chunk") != "")
-                .select(id_col, (F.col("_i") + 1).alias("idx"), "chunk",
-                        F.xxhash64("chunk").alias("ch")))
-    heavy = (exploded.groupBy("ch")
+                                             chunk_at)).alias("_i", "_ctoks"))
+                .filter(F.size("_ctoks") > 0)
+                .select(id_col, (F.col("_i") + 1).alias("idx"),
+                        F.array_join("_ctoks", " ").alias("chunk"),
+                        F.xxhash64("_ctoks").alias("ch")))
+    heavy = (exploded.select(id_col, "ch")
+                     .groupBy("ch")
                      .agg(F.countDistinct(id_col).alias("_docs"))
                      .filter(F.col("_docs") >= min_docs)
                      .select("ch", F.lit(True).alias("_dup")))
-    flagged = exploded.join(F.broadcast(heavy), "ch", "left")
+    # no forced broadcast (round-5 verdict #3): the heavy-chunk set is
+    # small on ordinary corpora and AQE converts the join from runtime
+    # stats, but web-scale boilerplate with min_docs=2 can make it
+    # arbitrarily large — the hint would force-build exactly the relation
+    # that no longer fits (the minhash no-forced-hint rule)
+    flagged = exploded.join(heavy, "ch", "left")
     kept = F.when(F.col("_dup").isNull(), F.struct("idx", "chunk"))
     return (flagged.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_chunks"),
@@ -677,7 +767,8 @@ def cluster_representatives(labels: DataFrame, scores: DataFrame,
 
 def connected_components(edges: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", vertices: DataFrame | None = None,
-                         max_iter: int = 20, jump_after: int = 2) -> DataFrame:
+                         max_iter: int = 20, jump_after: int = 2,
+                         small_graph_max_edges: int = 1_000_000) -> DataFrame:
     """Connected components over a pair list — the TRANSITIVE CLOSURE step
     every near-dup pipeline needs after pair generation (A~B and B~C must
     collapse to ONE canonical doc, which pairwise dropping alone gets
@@ -704,12 +795,34 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
 
     ``vertices``: optional one-column frame adding isolated vertices
     (returned as their own singleton component).
+
+    SMALL-GRAPH FAST PATH (round-6): when the symmetrized edge list holds
+    at most ``2 * small_graph_max_edges`` rows — it is counted anyway to
+    size the iteration — the component labels are computed in one
+    union-find pass over the collected endpoint pairs (Arrow transfer,
+    ~16 bytes/edge, path-halving + min-label: microseconds per edge) and
+    re-attached distributively: the label table is SMALL by construction
+    (one row per edge endpoint, not per corpus row) and the optional
+    ``vertices`` frame — the corpus-sized side — is only anti-joined
+    against it, never collected.  This replaces the per-round shuffle
+    latency of label propagation (3-5 rounds x 2 jobs dominated toy-scale
+    wall) with two jobs total.  Verified near-dup edge lists are orders
+    smaller than the corpus, but at 10^12 rows they can still exceed any
+    driver budget — graphs above the threshold take the iterative
+    min-label path unchanged.  Both paths return identical labels
+    (component = min vertex id; the fast-path test asserts equality).
     """
     und0 = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     und0 = und0.unionByName(
         und0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     und0 = und0.persist()
-    n_edges = und0.count()  # materializes the persist; sizes the iteration
+    try:
+        n_edges = und0.count()  # materializes the persist; sizes everything
+        if n_edges <= 2 * small_graph_max_edges:
+            return _cc_small_graph(und0, vertices)
+    except Exception:
+        und0.unpersist()
+        raise
     verts = und0.select(F.col("src").alias("id")).distinct()
     if vertices is not None:
         vcol = vertices.columns[0]
@@ -731,12 +844,18 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     # explicit repartition below the union is each plain round's only one.
     iter_parts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
                             (2 * n_edges) // 100_000 + 1))
-    und = und0.repartition(iter_parts, "src").localCheckpoint()
-    und0.unpersist()
-    labels = (verts.repartition(iter_parts, "id")
-                   .select("id", F.col("id").alias("comp")).localCheckpoint())
-    ckpts = [labels]  # superseded checkpoints released as the loop advances
+    # checkpoint construction INSIDE the try (round-5 ADVICE): a failure
+    # while materializing und/labels must not leak their blocks (or
+    # und0's) into the shared session
+    und = None
+    ckpts: list = []
     try:
+        und = und0.repartition(iter_parts, "src").localCheckpoint()
+        und0.unpersist()
+        labels = (verts.repartition(iter_parts, "id")
+                       .select("id", F.col("id").alias("comp"))
+                       .localCheckpoint())
+        ckpts = [labels]  # superseded ckpts released as the loop advances
         for rounds in range(1, max_iter + 1):
             nbr = (und.join(labels, und["src"] == labels["id"])
                       .select(F.col("dst").alias("id"), "comp",
@@ -791,10 +910,58 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         labels._cached_deps = list(ckpts)
         return labels
     except Exception:
-        und.unpersist()
+        und0.unpersist()
+        if und is not None:
+            und.unpersist()
         for c in ckpts:
             c.unpersist()
         raise
+
+
+def _cc_small_graph(und0: DataFrame, vertices: DataFrame | None) -> DataFrame:
+    """Fast path of :func:`connected_components`: union-find over the
+    collected (persisted, symmetrized) edge list, labels re-attached
+    distributively.  ``und0`` is released here."""
+    spark = und0.sparkSession
+    pdf = und0.toPandas()  # Arrow path; bounded by small_graph_max_edges
+    und0.unpersist()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while x != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    src = pdf["src"].tolist()
+    for s, d in zip(src, pdf["dst"].tolist()):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    endpoints = sorted(set(src))
+    minroot: dict = {}
+    for v in endpoints:
+        r = find(v)
+        if r not in minroot or v < minroot[r]:
+            minroot[r] = v
+    out_pdf = pd.DataFrame(
+        {"id": np.asarray(endpoints, dtype=np.int64),
+         "comp": np.asarray([minroot[find(v)] for v in endpoints],
+                            dtype=np.int64)})
+    labels = (spark.createDataFrame(out_pdf) if len(out_pdf)
+              else spark.createDataFrame([], "id: long, comp: long"))
+    if vertices is not None:
+        vcol = vertices.columns[0]
+        verts = vertices.select(F.col(vcol).alias("id")).distinct()
+        singles = (verts.join(F.broadcast(labels.select("id")),
+                              "id", "left_anti")
+                        .select("id", F.col("id").alias("comp")))
+        labels = labels.unionByName(singles)
+    labels._cc_rounds = 0
+    labels._cached_deps = []
+    return labels
 
 
 def connected_components_incremental(old_labels: DataFrame,

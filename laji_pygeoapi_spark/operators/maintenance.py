@@ -312,7 +312,14 @@ def key_skew(df: DataFrame, key_col: str, top: int = 5) -> DataFrame:
              .crossJoin(F.broadcast(p50))
              .crossJoin(F.broadcast(p99))
              .withColumn("skew_x1000",
-                         fdiv(F.col("max_cnt") * 1000 * F.col("n_keys"),
+                         # operands cast to DECIMAL BEFORE the multiply:
+                         # the previous form built the long product first
+                         # and only fdiv's cast saw it, so it still threw
+                         # under ANSI past ~9.2e18 (round-5 ADVICE); the
+                         # oracle casts to HUGEINT pre-multiply the same
+                         # way
+                         fdiv(F.col("max_cnt").cast("decimal(38,0)")
+                              * 1000 * F.col("n_keys"),
                               F.col("total_cnt")))
              .select(key_col, "cnt", "rnk", "n_keys", "total_cnt",
                      "max_cnt", "p50_cnt", "p99_cnt", "skew_x1000"))

@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -573,31 +574,48 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
     qx = F.transform(F.col(vec_col),
                      lambda v: F.floor(v.cast("double") * scale + F.lit(0.5))
                                 .cast("long"))
-    staged = emb.select(F.col(id_col), qx.alias("_qx"))
+    # persisted: the init collect, each round's update agg and the final
+    # assignment all read the same narrow (id, _qx) projection — the
+    # unpersisted form re-scanned + re-quantized the source per pass
+    # (round-6).  Released by the caller via _cached_deps.
+    from .text import spread_small_input
+    staged = spread_small_input(
+        emb.select(F.col(id_col), F.col(vec_col))).select(
+        F.col(id_col), qx.alias("_qx")).persist()
     init_rows = (staged.orderBy(id_col).limit(k).collect())
     dim = len(init_rows[0]["_qx"])
     # fixed-point e-(2*log10(scale)): centroid units are qx*scale
     cents = [[int(v) * scale for v in r["_qx"]] for r in init_rows]
 
-    def assigned(frame):
-        out = frame
-        for c in range(len(cents)):
-            lit_c = F.array(*[F.lit(v) for v in cents[c]])
-            d = F.aggregate(
-                F.zip_with(F.col("_qx"), lit_c,
-                           lambda a, b: (a * scale - b) * (a * scale - b)),
-                F.lit(0).cast("long"), lambda acc, x: acc + x)
-            out = out.withColumn(f"_d{c}", d)  # staged: CLAUDE.md subtree rule
-        choice = F.array_min(F.array(*[
-            F.struct(F.col(f"_d{c}").alias("d"),
-                     F.lit(c).cast("int").alias("c"))
-            for c in range(len(cents))]))
-        return (out.withColumn("cluster", choice["c"])
-                   .withColumn("dist", choice["d"])
-                   .drop(*[f"_d{c}" for c in range(len(cents))]))
+    def assigned(frame, cents):
+        # ONE Arrow UDF with numpy int64 arithmetic replaces k staged
+        # interpreted aggregate(zip_with) columns (k*dim multiplies per
+        # row, never codegen'd — the pq_encode lesson, CLAUDE.md).
+        # BIT-EXACT: int64 adds/multiplies have no accumulation-order
+        # ambiguity, argmin ties resolve to the FIRST (= lowest cluster
+        # index), matching the array_min (d, c) struct ordering.
+        C = np.asarray(cents, dtype=np.int64)  # (k, dim), units qx*scale
+
+        @pandas_udf("cluster: int, dist: bigint")
+        def asg(qxs: pd.Series) -> pd.DataFrame:
+            if not len(qxs):
+                return pd.DataFrame({"cluster": pd.Series(dtype="int32"),
+                                     "dist": pd.Series(dtype="int64")})
+            X = np.asarray(qxs.tolist(), dtype=np.int64) * scale
+            D = X[:, None, :] - C[None, :, :]
+            dist = np.einsum("nkd,nkd->nk", D, D)
+            cl = dist.argmin(axis=1)
+            return pd.DataFrame(
+                {"cluster": cl.astype(np.int32),
+                 "dist": dist[np.arange(len(cl)), cl]})
+
+        return (frame.withColumn("_a", asg(F.col("_qx")))
+                     .withColumn("cluster", F.col("_a.cluster"))
+                     .withColumn("dist", F.col("_a.dist"))
+                     .drop("_a"))
 
     for _ in range(iters):
-        a = assigned(staged)
+        a = assigned(staged, cents)
         upd = (a.groupBy("cluster")
                 .agg(F.count(F.lit(1)).alias("_n"),
                      *[F.sum(F.col("_qx")[d]).alias(f"_s{d}")
@@ -611,8 +629,10 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2,
                             for d in range(dim)]
         cents = new_cents
 
-    return (assigned(staged)
-            .select(F.col(id_col), F.col("cluster"), F.col("dist")))
+    out = (assigned(staged, cents)
+           .select(F.col(id_col), F.col("cluster"), F.col("dist")))
+    out._cached_deps = [staged]
+    return out
 
 
 def cluster_balanced_sample(emb: DataFrame, k: int = 8, iters: int = 2,
@@ -636,6 +656,8 @@ def cluster_balanced_sample(emb: DataFrame, k: int = 8, iters: int = 2,
     key = (F.pmod(F.col(id_col), F.lit(1048576))
            * F.lit(2654435761)) % F.lit(1048576)
     w = Window.partitionBy("cluster").orderBy(key.asc(), F.col(id_col).asc())
-    return (asg.withColumn("rnk", F.row_number().over(w).cast("int"))
-               .filter(F.col("rnk") <= quota)
-               .select(id_col, "cluster", "rnk"))
+    out = (asg.withColumn("rnk", F.row_number().over(w).cast("int"))
+              .filter(F.col("rnk") <= quota)
+              .select(id_col, "cluster", "rnk"))
+    out._cached_deps = getattr(asg, "_cached_deps", [])
+    return out

@@ -22,6 +22,21 @@ _LANG_MARKERS = {
 }
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input up to the cluster's default parallelism.
+
+    Per-row text work (regex tokenize ~70 us/row) is CPU-bound; a small
+    table read from one parquet row group arrives as ONE partition and
+    serializes the whole stage on one core (guide §2.5 input skew).  At
+    real scale the scan already has thousands of partitions and this is a
+    no-op (getNumPartitions is metadata-only, no job).  Lives here so
+    every tokenize-staging operator can use it; dedup re-exports it."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def tokenize(col: Column) -> Column:
     """Lowercase word array on an explicit ASCII class.
 
@@ -125,7 +140,7 @@ def profile(df: DataFrame, text_col: str = "text",
     tokenization without re-scanning the corpus — the shared-scan fusion
     the curation pipelines build on (round-3 verdict #1)."""
     t = F.col(text_col)
-    staged = df.withColumn("_toks", tokenize(t))
+    staged = spread_small_input(df).withColumn("_toks", tokenize(t))
     order = ["en", "fi", "sv", "de"]
     staged = staged.withColumn("_toksd", F.array_distinct(F.col("_toks")))
     staged = staged.withColumns({
@@ -186,19 +201,26 @@ def top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
     Scale shape: one tokenize pass; per-(doc, term) counts are one
     map-side-combinable agg; the corpus df table derives FROM the tf
     relation (no second corpus scan) and joins back term-keyed; the final
-    per-doc top-k is a bounded window.  Returns (id, term, tf, df, rnk)."""
-    staged = (docs.select(id_col, text_col)
+    per-doc top-k is a bounded window.  The tf relation is PERSISTED —
+    it feeds both the df aggregate and the join probe side, and the
+    unpersisted form re-ran the scan + explode + (doc, term) aggregation
+    once per consumer (round-6; release via ``_cached_deps``).
+    Returns (id, term, tf, df, rnk)."""
+    staged = (spread_small_input(docs.select(id_col, text_col))
                   .withColumn("_toks", tokenize(F.col(text_col))))
     terms = staged.select(id_col, F.explode("_toks").alias("term"))
     tf = (terms.groupBy(id_col, "term")
-               .agg(F.count(F.lit(1)).alias("tf")))
+               .agg(F.count(F.lit(1)).alias("tf"))
+               .persist())
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
-    return (tf.join(dfreq, "term")
-              .withColumn("rnk", F.row_number().over(w).cast("int"))
-              .filter(F.col("rnk") <= k)
-              .select(id_col, "term", "tf", "df", "rnk"))
+    out = (tf.join(dfreq, "term")
+             .withColumn("rnk", F.row_number().over(w).cast("int"))
+             .filter(F.col("rnk") <= k)
+             .select(id_col, "term", "tf", "df", "rnk"))
+    out._cached_deps = [tf]
+    return out
 
 
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -207,7 +229,7 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     and count each kind.  Pure JVM regexp expressions, staged per pattern
     so each redaction round is computed once (chained-expression trap)."""
     cur = F.col(text_col)
-    df = df.withColumn("_red", cur)
+    df = spread_small_input(df).withColumn("_red", cur)
     for name, pat, repl in PII_PATTERNS:
         df = df.withColumn(f"n_{name}", F.regexp_count(F.col("_red"), F.lit(pat)))
         df = df.withColumn("_red", F.regexp_replace(F.col("_red"), pat, repl))
@@ -231,7 +253,8 @@ def extract_domains(df: DataFrame, text_col: str = "text",
     rows.  Pure JVM ``regexp_extract_all`` projection + explode; the
     per-domain reduction downstream is one map-side-combined agg."""
     urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
-    ex = df.select(id_col, F.explode(urls).alias("_url"))
+    ex = spread_small_input(df.select(id_col, text_col)).select(
+        id_col, F.explode(urls).alias("_url"))
     host = F.lower(F.regexp_extract(F.col("_url"), HOST_PATTERN, 1))
     return ex.select(id_col, host.alias("domain")).filter(F.col("domain") != "")
 
@@ -266,7 +289,7 @@ def gopher_line_signals(df: DataFrame, text_col: str = "text",
     projection — no shuffle."""
     lines = F.filter(F.transform(F.split(F.col(text_col), "\n"),
                                  lambda s: F.trim(s)), lambda s: s != "")
-    df = df.withColumn("_lines", lines)
+    df = spread_small_input(df).withColumn("_lines", lines)
     n = F.size(F.col("_lines"))
     nd = F.size(F.array_distinct(F.col("_lines")))
     return (df.withColumn("n_lines", n)
@@ -280,12 +303,28 @@ def gopher_bigram_signal(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
     """Top-bigram fraction (Gopher rule: a document dominated by one
     repeated 2-gram is boilerplate): max bigram count / total bigrams.
-    Shape: stage tokens -> bigrams, explode, two hash aggregations keyed by
-    (doc, bigram) then doc — map-side combined, linear in corpus size."""
-    staged = (df.select(id_col, text_col)
+    Shape: stage tokens -> bigram HASHES (xxhash64 of the 2-token window —
+    the bigram only serves as a group key, and hash equality ≡ string
+    equality modulo the accepted within-doc 2^-64 collision class; no
+    string build, 8-byte shuffle keys), explode, two hash aggregations
+    keyed by (doc, bigram) then doc — map-side combined, linear in corpus
+    size."""
+    from .dedup import _shingle_hashes
+    staged = (spread_small_input(df.select(id_col, text_col))
                 .withColumn("_toks", tokenize(F.col(text_col)))
-                .withColumn("_bg", shingles_from_tokens(F.col("_toks"), 2)))
-    ex = staged.select(id_col, F.explode("_bg").alias("bg"))
+                .withColumn("_bg", _shingle_hashes(F.col("_toks"), 2)))
+    # explode_OUTER, not explode: InferFiltersFromGenerate adds a
+    # ``size(_bg) > 0`` predicate for a plain explode and pushes it below
+    # the staged projections, substituting the WHOLE tokenize+shingle
+    # chain into an interpreted per-row Filter (the ~100x lambda
+    # re-evaluation trap, re-introduced by the optimizer: measured 155 s
+    # for 50 k docs at sf1.0, 4 s with the outer form).  _bg is never
+    # empty here (short docs get one whole-doc shingle), so the outer
+    # null-row branch never fires; the isNotNull filter on the OUTPUT
+    # column keeps the row contract identical and cannot be pushed below
+    # the generate.
+    ex = (staged.select(id_col, F.explode_outer("_bg").alias("bg"))
+                .filter(F.col("bg").isNotNull()))
     per = ex.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
     return (per.groupBy(id_col)
                .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),

@@ -25,9 +25,21 @@ def _curated_survivors(df: DataFrame, lang: str, min_quality: float,
     kept) -> lang/quality filter -> exact dedup on the fingerprint -> ONE
     persisted survivor projection ``(id, n_tokens, quality, _toks,
     *extra_cols)`` that every downstream stage reads (round-3 verdict #1:
-    the sub-pipelines each re-scanned + re-tokenized the survivor set)."""
-    scored = TX.profile(df.select(id_col, text_col, *extra_cols), text_col,
-                        keep_tokens=True)
+    the sub-pipelines each re-scanned + re-tokenized the survivor set).
+
+    Returns ``(survivors, caches)`` — BOTH frames in ``caches`` must reach
+    the caller's ``_cached_deps``.  The scored projection is persisted
+    BEFORE the lang/quality filter: a filter on profile's output columns
+    gets pushed below the staged token projection, substituting the whole
+    lang-ID + quality chain (tokenize inlined ~40x, interpreted) into one
+    per-row Filter on the scan — the cache boundary is the only thing
+    that stops that substitution (round-6 plan audit; the funnel already
+    used this shape, curate/multimodal paid the 9 KB filter)."""
+    scored = (TX.profile(df.select(id_col, text_col, *extra_cols), text_col,
+                         keep_tokens=True)
+              .select(id_col, "n_tokens", "quality", "lang_pred",
+                      "fingerprint", "_toks", *extra_cols)
+              .persist())
     kept = scored.filter((F.col("lang_pred") == lang)
                          & (F.col("quality") >= min_quality))
     # exact dedup keyed on the 64-bit fingerprint of the normalized token
@@ -36,8 +48,9 @@ def _curated_survivors(df: DataFrame, lang: str, min_quality: float,
     w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
     exact = (kept.withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") == 1).drop("_rn"))
-    return exact.select(id_col, "n_tokens", "quality", "_toks",
+    surv = exact.select(id_col, "n_tokens", "quality", "_toks",
                         *extra_cols).persist()
+    return surv, [scored, surv]
 
 
 def release_caches(df: DataFrame) -> None:
@@ -60,7 +73,7 @@ def curate(df: DataFrame, lang: str = "en", min_quality: float = 0.6,
     signature stage, both shingle sides of the verify join, and the final
     anti-join — all read the single persisted survivor projection
     (release with :func:`release_caches` once materialized)."""
-    surv = _curated_survivors(df, lang, min_quality, text_col, id_col)
+    surv, caches = _curated_survivors(df, lang, min_quality, text_col, id_col)
     toks = surv.select(F.col(id_col).alias("id"), "_toks")
     cand = DD.minhash_lsh_candidates(surv, text_col, id_col, toks=toks)
     dups = DD.jaccard_verify(surv, cand, text_col, id_col,
@@ -68,7 +81,7 @@ def curate(df: DataFrame, lang: str = "en", min_quality: float = 0.6,
     drop = dups.select(F.col("id_b").alias(id_col)).distinct()
     out = (surv.join(drop, id_col, "left_anti")
                .select(id_col, "n_tokens", "quality"))
-    out._cached_deps = [surv]
+    out._cached_deps = caches + getattr(dups, "_cached_deps", [])
     return out
 
 
@@ -111,18 +124,22 @@ def curation_funnel(df: DataFrame, lang: str = "en", min_quality: float = 0.6,
     def _cnt(frame: DataFrame, name: str) -> DataFrame:
         return frame.groupBy(source_col).agg(F.count(F.lit(1)).alias(name))
 
-    out = (_cnt(flagged, "n_total")
-           .join(_cnt(flagged.filter(F.col("_lang_ok")), "n_lang"),
-                 source_col, "left")
-           .join(_cnt(flagged.filter(F.col("_q_ok")), "n_quality"),
-                 source_col, "left")
+    # the three whole-corpus stage counts are ONE conditional aggregate
+    # over the cached flagged projection (sum-of-flag == count-of-filter:
+    # F.sum skips NULL flags exactly as the filter dropped them) — three
+    # cache scans + three aggs collapse to one (round-6)
+    base = flagged.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("_lang_ok").cast("long")).alias("n_lang"),
+        F.sum(F.col("_q_ok").cast("long")).alias("n_quality"))
+    out = (base
            .join(_cnt(surv, "n_exact"), source_col, "left")
            .join(_cnt(final, "n_final"), source_col, "left"))
     out = out.select(
         source_col,
         *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
           for c in ("n_total", "n_lang", "n_quality", "n_exact", "n_final")])
-    out._cached_deps = [flagged, surv]
+    out._cached_deps = [flagged, surv] + getattr(dups, "_cached_deps", [])
     return out
 
 
@@ -171,8 +188,8 @@ def multimodal_curate(df: DataFrame, lang: str = "en", min_quality: float = 0.6,
     final anti-join all read that cache — the round-3 form re-scanned and
     re-tokenized the survivor set in each of three sub-pipelines (14
     scans).  Release with :func:`release_caches` once materialized."""
-    surv = _curated_survivors(df, lang, min_quality, text_col, id_col,
-                              extra_cols=(phash_col,))
+    surv, caches = _curated_survivors(df, lang, min_quality, text_col,
+                                      id_col, extra_cols=(phash_col,))
     toks = surv.select(F.col(id_col).alias("id"), "_toks")
     cand = DD.minhash_lsh_candidates(surv, text_col, id_col, toks=toks)
     text_dups = DD.jaccard_verify(surv, cand, text_col, id_col,
@@ -185,7 +202,7 @@ def multimodal_curate(df: DataFrame, lang: str = "en", min_quality: float = 0.6,
             .distinct())
     out = (surv.join(drop, id_col, "left_anti")
                .select(id_col, "n_tokens", "quality"))
-    out._cached_deps = [surv]
+    out._cached_deps = caches + getattr(text_dups, "_cached_deps", [])
     return out
 
 

@@ -500,7 +500,9 @@ def test_connected_components_pointer_jumping_rounds(spark):
     from laji_pygeoapi_spark.operators.dedup import connected_components
     chain = spark.createDataFrame([(i, i + 1) for i in range(63)],
                                   "id_a: long, id_b: long")
-    out = connected_components(chain, max_iter=10)
+    # small_graph_max_edges=0 pins the ITERATIVE path — this test is about
+    # the pointer-jumping round count, which the fast path bypasses
+    out = connected_components(chain, max_iter=10, small_graph_max_edges=0)
     assert {r["comp"] for r in out.collect()} == {0}
     assert out._cc_rounds <= 9, out._cc_rounds
 
@@ -525,7 +527,7 @@ def test_connected_components_no_session_conf_mutation(spark, monkeypatch):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(39)] + [(i, i + 2) for i in range(0, 38, 2)],
         "id_a: long, id_b: long")
-    out = connected_components(edges, max_iter=10)
+    out = connected_components(edges, max_iter=10, small_graph_max_edges=0)
     assert {r["comp"] for r in out.collect()} == {0}
     # a "concurrent" query planned right after (same session): its shuffle
     # must still use the session parallelism
@@ -905,13 +907,36 @@ def test_cluster_balanced_sample_caps_every_cluster(spark):
             range(1, len(rows_c) + 1))
 
 
+def test_connected_components_small_graph_fast_path_equivalence(spark):
+    """Round-6: the small-graph fast path (driver union-find + distributed
+    re-attach) must return EXACTLY the iterative labels — same components,
+    same min-id representatives, isolated vertices included — and must not
+    leave cached blocks behind."""
+    import random
+    rng = random.Random(7)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    edges = spark.createDataFrame(
+        pd.DataFrame([{"id_a": a, "id_b": b} for a, b in pairs]))
+    verts = spark.range(80).withColumnRenamed("id", "vec_id")
+    fast = DD.connected_components(edges, vertices=verts)
+    slow = DD.connected_components(edges, vertices=verts,
+                                   small_graph_max_edges=0)
+    got_fast = {r["id"]: r["comp"] for r in fast.collect()}
+    got_slow = {r["id"]: r["comp"] for r in slow.collect()}
+    assert got_fast == got_slow
+    assert len(got_fast) == 80  # isolated vertices kept as singletons
+    assert fast._cc_rounds == 0
+    for d in getattr(slow, "_cached_deps", []):
+        d.unpersist()
+
+
 def test_connected_components_releases_iteration_checkpoints(spark):
     """The CC loop must free superseded per-round checkpoints and hand the
     final one to the caller via _cached_deps (round-5 review: checkpoint
     blocks accumulated across the shared 60+-query session)."""
     edges = spark.createDataFrame(
         pd.DataFrame([{"id_a": i, "id_b": i + 1} for i in range(0, 40, 2)]))
-    out = DD.connected_components(edges)
+    out = DD.connected_components(edges, small_graph_max_edges=0)
     deps = getattr(out, "_cached_deps", [])
     assert len(deps) == 1  # exactly the final checkpoint survives
     got = {r["id"]: r["comp"] for r in out.collect()}

@@ -490,9 +490,12 @@ def test_connected_components_nonconvergence_raises(spark):
     from laji_pygeoapi_spark.operators.dedup import connected_components
     chain = spark.createDataFrame([(i, i + 1) for i in range(10)],
                                   "id_a: long, id_b: long")
+    # pin the iterative path: the non-convergence guard is an iteration
+    # property; the small-graph fast path has no round cap to hit
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=3)
-    ok = connected_components(chain, max_iter=15).collect()
+        connected_components(chain, max_iter=3, small_graph_max_edges=0)
+    ok = connected_components(chain, max_iter=15,
+                              small_graph_max_edges=0).collect()
     assert {r["comp"] for r in ok} == {0}
 
 
