@@ -302,7 +302,11 @@ def q_dedup_latest(spark, sf_dir):
 def q_merge_policies(spark, sf_dir):
     """A2 — policy-driven group merge on lineitem (FIRST/AGGREGATE/SUM/MAX
     + Yhdistetty merged-count)."""
-    li = _tbl(spark, sf_dir, "lineitem")
+    # lineitem arrives as 6 row groups; the collect_list aggregation has no
+    # map-side reduction, so its shuffle WRITE serialized on 6 tasks —
+    # spread to the core count first (no-op at real scale, guide §2.5)
+    from laji_pygeoapi_spark.operators.text import spread_small_input
+    li = spread_small_input(_tbl(spark, sf_dir, "lineitem"))
     # fully deterministic orderings: lineitem keys are non-unique in this
     # synthetic corpus, so tie-break down to the aggregated value itself
     ordk = F.struct((-F.unix_date(F.to_date("l_shipdate"))).alias("d"),
@@ -514,7 +518,8 @@ def q_exact_dedup(spark, sf_dir):
     collision; the oracle partitions by the string)."""
     from pyspark.sql import Window
     docs = _tbl(spark, sf_dir, "documents")
-    keyed = docs.select("doc_id", TX.fingerprint64(F.col("text")).alias("_fp"))
+    keyed = docs.select("doc_id", F.xxhash64(
+        F.array_join(TX.tokenize_udf()(F.col("text")), " ")).alias("_fp"))
     w = Window.partitionBy("_fp").orderBy("doc_id")
     return (keyed.withColumn("rn", F.row_number().over(w))
                  .filter(F.col("rn") == 1).select("doc_id"))
@@ -523,13 +528,17 @@ def q_exact_dedup(spark, sf_dir):
 def q_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard similarity of consecutive doc pairs (exact verify op)."""
     docs = _tbl(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", TX.tokenize(F.col("text")).alias("_toks"))
+    toks = docs.select("doc_id", TX.tokenize_udf()(F.col("text")).alias("_toks"))
     sh = toks.select("doc_id",
                      F.array_distinct(TX.shingles_from_tokens(F.col("_toks"), 3)).alias("sh"))
-    a = sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a")
-    b = sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b")
-    pairs = (a.join(b, a.id_a + 1 == b.id_b)
-              .filter(F.col("id_a") % 2 == 0))
+    # both sides prefiltered to the rows that can appear in a pair
+    # (id_a even, id_b = id_a+1 odd): the post-join filter only pruned
+    # the a-side scan, the b side carried every doc through the join
+    a = (sh.filter(F.col("doc_id") % 2 == 0)
+           .withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"))
+    b = (sh.filter(F.col("doc_id") % 2 == 1)
+           .withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"))
+    pairs = a.join(b, a.id_a + 1 == b.id_b)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     uni = F.size("sh_a") + F.size("sh_b") - inter
     return pairs.select("id_a", "id_b",
@@ -558,7 +567,8 @@ def q_simhash(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     from laji_pygeoapi_spark.operators import text as _TX
     return docs.select(
-        "doc_id", DD.simhash_udf()(_TX.tokenize(F.col("text"))).alias("simhash"))
+        "doc_id",
+        DD.simhash_udf()(_TX.tokenize_udf()(F.col("text"))).alias("simhash"))
 
 
 def q_brute_topk(spark, sf_dir):
@@ -674,15 +684,18 @@ def q_centroid_rank(spark, sf_dir):
 def q_text_profile(spark, sf_dir):
     """Language ID + token count + quality score per document."""
     docs = _tbl(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select("doc_id", TX.lang_id(t).alias("lang_pred"),
-                       TX.token_count(t).alias("n_tokens"),
-                       TX.quality_score(t).alias("quality"))
+    # same output columns as the expression form, but through profile()'s
+    # staged tokenization (one tokenizer pass; the single-expression form
+    # re-ran tokenize once per feature) — unused profile columns are
+    # pruned by Catalyst
+    return TX.profile(docs.select("doc_id", "text")).select(
+        "doc_id", "lang_pred", "n_tokens", "quality")
 
 
 def q_token_histogram(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
-    return (docs.select(TX.token_count(F.col("text")).alias("n_tokens"))
+    return (docs.select(F.size(TX.tokenize_udf()(F.col("text")))
+                         .alias("n_tokens"))
                 .groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt")))
 
 
@@ -718,7 +731,8 @@ def q_token_len_quantiles(spark, sf_dir):
     ≤ ~1.9k counter rows per group, never a global sort."""
     from laji_pygeoapi_spark.operators import sketch as SK
     docs = _tbl(spark, sf_dir, "documents")
-    staged = docs.select("source", TX.token_count(F.col("text")).alias("n"))
+    staged = docs.select("source",
+                         F.size(TX.tokenize_udf()(F.col("text"))).alias("n"))
     sk = SK.quantile_sketch(staged, "n", group_cols=("source",))
     return SK.quantile_from_sketch(sk, (50, 90, 99), group_cols=("source",))
 

@@ -32,7 +32,8 @@ from . import text as TX
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id row per identical normalized text (deterministic)."""
     keyed = _spread_small_input(df).withColumn(
-        "_fp", TX.fingerprint64(F.col(text_col)))
+        "_fp", F.xxhash64(F.array_join(TX.tokenize_udf()(F.col(text_col)),
+                                       " ")))
     w = Window.partitionBy("_fp").orderBy(F.col(id_col))
     return (keyed.withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") == 1)
@@ -270,8 +271,12 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     sig = minhash_signature_udf(num_perm, shingle_n=shingle_n)
     # tokens staged into their own projection (lambda re-evaluation trap)
     if toks is None:
-        toks = _spread_small_input(df.select(
-            F.col(id_col).alias("id"), TX.tokenize(F.col(text_col)).alias("_toks")))
+        toks = (_spread_small_input(df.select(id_col, text_col))
+                .select(F.col(id_col).alias("id"),
+                        TX.tokenize_udf()(F.col(text_col)).alias("_toks"))
+                .localCheckpoint())  # barrier: the size filter below must
+        # not be substituted through the UDF projection (second
+        # ArrowEvalPython); hot callers pass persisted toks anyway
     hashed = (toks.filter(F.size("_toks") > 0)  # token-less docs can't near-dup
                   .select("id", F.transform("_toks", lambda t: F.xxhash64(t)).alias("_th")))
     # no isNotNull filter on sig: the size(_toks) > 0 prefilter already
@@ -335,8 +340,9 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     smaller (round-6; the broadcast pair join does not prune the probe
     side's projections)."""
     if toks is None:
-        toks = _spread_small_input(df.select(F.col(id_col).alias("_jid"),
-                                             TX.tokenize(F.col(text_col)).alias("_toks")))
+        toks = (_spread_small_input(df.select(id_col, text_col))
+                .select(F.col(id_col).alias("_jid"),
+                        TX.tokenize_udf()(F.col(text_col)).alias("_toks")))
     else:
         toks = toks.select(F.col("id").alias("_jid"), "_toks")
     pairs = pairs.persist()
@@ -374,8 +380,10 @@ def minhash_pairs_verified(df: DataFrame, text_col: str = "text",
     ``plans.curation.release_caches(result)`` after materializing to free
     the blocks deterministically (round-3 ADVICE: un-released persists
     leak until LRU eviction and skew back-to-back benches)."""
-    toks = _spread_small_input(df.select(
-        F.col(id_col).alias("id"), TX.tokenize(F.col(text_col)).alias("_toks"))).persist()
+    toks = (_spread_small_input(df.select(id_col, text_col))
+            .select(F.col(id_col).alias("id"),
+                    TX.tokenize_udf()(F.col(text_col)).alias("_toks"))
+            .persist())
     pairs = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands,
                                    shingle_n, toks=toks)
     out = jaccard_verify(df, pairs, text_col, id_col, shingle_n, threshold,
@@ -557,9 +565,12 @@ def _bench_grams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame
     Token-less docs are dropped (they had only the '' gram before, which
     was filtered) — the match set is unchanged."""
     staged = (_spread_small_input(df.select(id_col, text_col))
-                .withColumn("_toks", TX.tokenize(F.col(text_col)))
-                .filter(F.size("_toks") > 0))
-    g = F.array_distinct(_shingle_hashes(F.col("_toks"), n))
+                .withColumn("_toks", TX.tokenize_udf()(F.col(text_col))))
+    # empty-token docs gated INSIDE the explode input, never via a filter
+    # on the UDF output column (pushdown would duplicate the UDF)
+    g = F.when(F.size("_toks") > 0,
+               F.array_distinct(_shingle_hashes(F.col("_toks"), n))
+               ).otherwise(F.array().cast("array<bigint>"))
     return staged.select(id_col, F.explode(g).alias("gh"))
 
 
@@ -665,9 +676,10 @@ def dup_gram_fraction(docs: DataFrame, n: int = 5, min_df: int = 2,
     from . import text as TXO
 
     staged = (_spread_small_input(docs.select(id_col, text_col))
-                  .withColumn("_toks", TXO.tokenize(F.col(text_col)))
-                  .filter(F.size("_toks") > 0))
-    g = F.array_distinct(_shingle_hashes(F.col("_toks"), n))
+                  .withColumn("_toks", TXO.tokenize_udf()(F.col(text_col))))
+    g = F.when(F.size("_toks") > 0,
+               F.array_distinct(_shingle_hashes(F.col("_toks"), n))
+               ).otherwise(F.array().cast("array<bigint>"))
     grams = staged.select(id_col, F.explode(g).alias("gh"))
     heavy = (grams.groupBy("gh").agg(F.count(F.lit(1)).alias("_df"))
                   .filter(F.col("_df") >= min_df)
@@ -703,8 +715,7 @@ def chunk_dedup(docs: DataFrame, width: int = 10, min_docs: int = 2,
 
     Returns (id, n_chunks, n_removed, text_clean)."""
     staged = (_spread_small_input(docs.select(id_col, text_col))
-                  .withColumn("_toks", TX.tokenize(F.col(text_col)))
-                  .filter(F.size("_toks") > 0))
+                  .withColumn("_toks", TX.tokenize_udf()(F.col(text_col))))
     n_chunks = F.ceil(F.size("_toks") / F.lit(width)).cast("int")
     # chunks explode as TOKEN SLICES; the join key is the hash of the
     # slice (hash equality ≡ chunk-string equality: the space join is

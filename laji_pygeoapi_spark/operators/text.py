@@ -8,8 +8,11 @@ comparison covers them.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 # tiny per-language stopword seeds for the n-gram/stopword heuristic.
 # ASCII-only by construction: tokenize() splits on [^a-z0-9']+, so a marker
@@ -44,6 +47,39 @@ def tokenize(col: Column) -> Column:
     oracle SQL (`regexp_split_to_array`) produce byte-identical tokens on any
     input — cross-engine determinism is part of the operator contract."""
     return F.filter(F.split(F.lower(col), r"[^a-z0-9']+"), lambda t: t != "")
+
+
+def tokenize_udf():
+    """Arrow-UDF twin of :func:`tokenize` for the HOT staging points.
+
+    Token-identical by construction:
+    ``filter(split(lower(x), "[^a-z0-9']+"), t != "")`` equals
+    ``findall("[a-z0-9']+", x.lower())`` — both enumerate the maximal
+    runs of the ASCII class in the lowercased text (split's leading/
+    trailing/adjacent empty fragments are exactly what the filter drops),
+    and null in -> null out on both paths.
+
+    Why a UDF at all when the JVM expression exists: measured on this
+    host, JVM regex with many matches per row does NOT scale across
+    task threads (500 k splits: 17 s on local[1], 19.7 s on local[32],
+    while arithmetic expressions scale ~13x and separate processes
+    ~19x) — Spark's StringSplit also recompiles its Pattern per row.
+    Python workers are separate PROCESSES, so one Arrow batch pass
+    (`re.findall` on a pattern compiled once per batch iterator) gets
+    real parallelism plus a ~10x lower per-row constant (guide §4.2).
+
+    TRAP (CLAUDE.md): never ``.filter()`` on this UDF's output column —
+    the predicate gets substituted through the projection and planner
+    builds a SECOND ArrowEvalPython.  Gate empty-token docs with
+    ``F.when(F.size(_toks) > 0, …).otherwise(empty array)`` feeding the
+    explode instead."""
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def tok(texts: pd.Series) -> pd.Series:
+        import re
+        rx = re.compile(r"[a-z0-9']+")
+        return pd.Series([None if t is None else rx.findall(t.lower())
+                          for t in texts])
+    return tok
 
 
 def token_count(col: Column) -> Column:
@@ -140,7 +176,9 @@ def profile(df: DataFrame, text_col: str = "text",
     tokenization without re-scanning the corpus — the shared-scan fusion
     the curation pipelines build on (round-3 verdict #1)."""
     t = F.col(text_col)
-    staged = spread_small_input(df).withColumn("_toks", tokenize(t))
+    # tokens via the Python-process tokenizer (see tokenize_udf: JVM regex
+    # does not thread-scale on this class of host)
+    staged = spread_small_input(df).withColumn("_toks", tokenize_udf()(t))
     order = ["en", "fi", "sv", "de"]
     staged = staged.withColumn("_toksd", F.array_distinct(F.col("_toks")))
     staged = staged.withColumns({
@@ -207,8 +245,13 @@ def top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
     once per consumer (round-6; release via ``_cached_deps``).
     Returns (id, term, tf, df, rnk)."""
     staged = (spread_small_input(docs.select(id_col, text_col))
-                  .withColumn("_toks", tokenize(F.col(text_col))))
-    terms = staged.select(id_col, F.explode("_toks").alias("term"))
+                  .withColumn("_toks", tokenize_udf()(F.col(text_col))))
+    # explode_outer: a plain explode on the UDF-output attribute gets an
+    # inferred size>0 filter substituted below the projection — a SECOND
+    # ArrowEvalPython (the gopher lesson); the null-row filter on the
+    # generator OUTPUT is pushdown-proof
+    terms = (staged.select(id_col, F.explode_outer("_toks").alias("term"))
+                   .filter(F.col("term").isNotNull()))
     tf = (terms.groupBy(id_col, "term")
                .agg(F.count(F.lit(1)).alias("tf"))
                .persist())
@@ -311,7 +354,7 @@ def gopher_bigram_signal(df: DataFrame, text_col: str = "text",
     size."""
     from .dedup import _shingle_hashes
     staged = (spread_small_input(df.select(id_col, text_col))
-                .withColumn("_toks", tokenize(F.col(text_col)))
+                .withColumn("_toks", tokenize_udf()(F.col(text_col)))
                 .withColumn("_bg", _shingle_hashes(F.col("_toks"), 2)))
     # explode_OUTER, not explode: InferFiltersFromGenerate adds a
     # ``size(_bg) > 0`` predicate for a plain explode and pushes it below

@@ -103,10 +103,14 @@ def curation_funnel(df: DataFrame, lang: str = "en", min_quality: float = 0.6,
     curate().count() — pytest-gated)."""
     scored = TX.profile(df.select(id_col, text_col, source_col), text_col,
                         keep_tokens=True)
+    # narrow projection persisted (round-6): the raw text column is never
+    # read downstream — caching it doubled the flagged cache for nothing
     flagged = (scored
                .withColumn("_lang_ok", F.col("lang_pred") == lang)
                .withColumn("_q_ok", F.col("_lang_ok")
                            & (F.col("quality") >= min_quality))
+               .select(id_col, source_col, "n_tokens", "quality",
+                       "fingerprint", "_toks", "_lang_ok", "_q_ok")
                .persist())
     w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
     surv = (flagged.filter(F.col("_q_ok"))
@@ -225,8 +229,9 @@ def pack_sequences(df: DataFrame, budget: int = 2048,
     no single-task stage, same exact integers as the serial form.
     """
     h = key if key is not None else F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 20))
-    staged = (df.select(id_col, text_col)
-                .withColumn("_n", TX.token_count(F.col(text_col)).cast("long"))
+    staged = (TX.spread_small_input(df.select(id_col, text_col))
+                .withColumn("_n", F.size(TX.tokenize_udf()(
+                    F.col(text_col))).cast("long"))
                 .withColumn("_h", h)
                 .withColumn("_b", (h * n_buckets / F.lit(1 << 20)).cast("int")))
     w = (Window.partitionBy("_b").orderBy(F.col("_h").asc(), F.col(id_col).asc())

@@ -78,11 +78,15 @@ def test_text_profile_stays_jvm_side(spark):
     from laji_pygeoapi_spark.operators import text as TX
     q = TX.profile(docs)
     plan = _plan(q, "simple")
-    # no Python on the scalar surface (higher-order fns are interpreted but
-    # JVM-side; what must never appear is a Python eval node)
-    assert "EvalPython" not in plan and "MapInPandas" not in plan
-    # the expensive tokenize subexpressions are staged, not inlined ~40x:
-    # the plan text stays bounded
+    # round-6: tokenization moved to ONE vectorized Arrow UDF (JVM regex
+    # does not thread-scale on this host class — measured in
+    # OPTIMIZATION_r06.md); the invariant is now: never row-at-a-time
+    # Python (BatchEvalPython), and exactly ONE tokenizer pass — a second
+    # ArrowEvalPython would mean a filter was substituted through the
+    # staged projection (the pushdown trap)
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("ArrowEvalPython") == 1, plan.count("ArrowEvalPython")
+    # the staged features stay staged, not inlined ~40x: plan text bounded
     assert plan.count("array_intersect") <= 12
 
 
