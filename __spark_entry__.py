@@ -69,22 +69,16 @@ def _ship_package(spark: SparkSession) -> None:
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # NOTE on input parallelism: the driver writes these tables as ONE
+    # parquet row group, so a scan is a single task no matter the core
+    # count.  Spreading is applied SURGICALLY where per-row python-loop
+    # work runs (tokenize_udf staging points in the operators and the
+    # q_ functions below) — a blanket spread here measured NET NEGATIVE
+    # for the numpy-vectorized UDF family (hex/s2/tile encodes process a
+    # whole 50 k-row table in one vectorized worker faster than the
+    # added exchange costs: 0.24 s vs 0.49 s at sf1.0).
     _ship_package(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in ("documents", "embeddings"):
-        # the driver writes these tables as ONE parquet row group, so the
-        # scan is a single task no matter the core count — and these are
-        # exactly the tables whose queries do heavy per-row work (regex
-        # tokenize ~70 us/row, embedding math), which then serializes on
-        # one core (measured: tokenize alone 5.4 s single-task at sf1.0).
-        # _spread_small_input repartitions up to the cluster parallelism
-        # ONLY when the scan has fewer partitions (guide §2.5 input-skew
-        # remedy) — at real scale the scan already has thousands of
-        # splits and this is a metadata-only no-op.  Filters and column
-        # pruning push through the repartition to the scan unchanged.
-        from laji_pygeoapi_spark.operators.dedup import _spread_small_input
-        df = _spread_small_input(df)
-    return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,7 +473,8 @@ def q_embedding_neardup(spark, sf_dir):
     # persist the planted projection: embedding_neardup reads its input
     # FOUR times (dim probe, bucket projection, both cosine re-attach
     # sides) and each read re-ran the planted self-join (round-6)
-    derived = _planted_embeddings(spark, sf_dir).persist()
+    derived = TX.spread_small_input(
+        _planted_embeddings(spark, sf_dir)).persist()
     out = DD.embedding_neardup(derived, threshold=0.95, tables=2, planes=8)
     out = out.select("id_a", "id_b")
     out._cached_deps = [derived]
@@ -499,7 +494,8 @@ def q_semantic_dedup(spark, sf_dir):
     cosine verify + recursive-CTE components)."""
     # persisted for the same reason as q_embedding_neardup, plus the CC
     # vertex side reads it once more (round-6)
-    derived = _planted_embeddings(spark, sf_dir).persist()
+    derived = TX.spread_small_input(
+        _planted_embeddings(spark, sf_dir)).persist()
     pairs = DD.embedding_neardup(derived, threshold=0.95, tables=2, planes=8)
     cc = DD.connected_components(pairs, vertices=derived.select("vec_id"))
     out = cc.select(F.col("id").alias("vec_id"),
@@ -518,8 +514,9 @@ def q_exact_dedup(spark, sf_dir):
     collision; the oracle partitions by the string)."""
     from pyspark.sql import Window
     docs = _tbl(spark, sf_dir, "documents")
-    keyed = docs.select("doc_id", F.xxhash64(
-        F.array_join(TX.tokenize_udf()(F.col("text")), " ")).alias("_fp"))
+    keyed = TX.spread_small_input(docs.select("doc_id", "text")).select(
+        "doc_id", F.xxhash64(
+            F.array_join(TX.tokenize_udf()(F.col("text")), " ")).alias("_fp"))
     w = Window.partitionBy("_fp").orderBy("doc_id")
     return (keyed.withColumn("rn", F.row_number().over(w))
                  .filter(F.col("rn") == 1).select("doc_id"))
@@ -528,7 +525,8 @@ def q_exact_dedup(spark, sf_dir):
 def q_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard similarity of consecutive doc pairs (exact verify op)."""
     docs = _tbl(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", TX.tokenize_udf()(F.col("text")).alias("_toks"))
+    toks = TX.spread_small_input(docs.select("doc_id", "text")).select(
+        "doc_id", TX.tokenize_udf()(F.col("text")).alias("_toks"))
     sh = toks.select("doc_id",
                      F.array_distinct(TX.shingles_from_tokens(F.col("_toks"), 3)).alias("sh"))
     # both sides prefiltered to the rows that can appear in a pair
@@ -566,7 +564,7 @@ def q_simhash(spark, sf_dir):
     unicode codepoints), so the whole 64-bit simhash is oracle-checked."""
     docs = _tbl(spark, sf_dir, "documents")
     from laji_pygeoapi_spark.operators import text as _TX
-    return docs.select(
+    return _TX.spread_small_input(docs.select("doc_id", "text")).select(
         "doc_id",
         DD.simhash_udf()(_TX.tokenize_udf()(F.col("text"))).alias("simhash"))
 
@@ -694,7 +692,8 @@ def q_text_profile(spark, sf_dir):
 
 def q_token_histogram(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
-    return (docs.select(F.size(TX.tokenize_udf()(F.col("text")))
+    return (TX.spread_small_input(docs.select("text"))
+                .select(F.size(TX.tokenize_udf()(F.col("text")))
                          .alias("n_tokens"))
                 .groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt")))
 
@@ -731,8 +730,8 @@ def q_token_len_quantiles(spark, sf_dir):
     ≤ ~1.9k counter rows per group, never a global sort."""
     from laji_pygeoapi_spark.operators import sketch as SK
     docs = _tbl(spark, sf_dir, "documents")
-    staged = docs.select("source",
-                         F.size(TX.tokenize_udf()(F.col("text"))).alias("n"))
+    staged = TX.spread_small_input(docs.select("source", "text")).select(
+        "source", F.size(TX.tokenize_udf()(F.col("text"))).alias("n"))
     sk = SK.quantile_sketch(staged, "n", group_cols=("source",))
     return SK.quantile_from_sketch(sk, (50, 90, 99), group_cols=("source",))
 

@@ -588,6 +588,11 @@ def knn_table_join(left: DataFrame, right: DataFrame, k: int = 3,
         cand = cand.filter(F.col(left_id) != F.col(right_id))
     cand = cand.withColumn("dist_m",
                            haversine_expr("_qlon", "_qlat", "_rlon", "_rlat"))
+    # the ranking windows only need (left, right, dist): dropping the
+    # coordinates and cell key BEFORE the window exchange ~halves the
+    # shuffled bytes of the candidate relation (guide §2.3 project-before-
+    # the-exchange; the fallback branch reads lf/rp, not these columns)
+    cand = cand.select(F.col(left_id), F.col(right_id), "dist_m")
     w = Window.partitionBy(left_id).orderBy(F.col("dist_m").asc(),
                                             F.col(right_id).asc())
     wp = Window.partitionBy(left_id)

@@ -295,9 +295,11 @@ def extract_domains(df: DataFrame, text_col: str = "text",
     every document, reduced to its lowercase host — exploded (id, domain)
     rows.  Pure JVM ``regexp_extract_all`` projection + explode; the
     per-domain reduction downstream is one map-side-combined agg."""
+    # deliberately UNSPREAD: regexp_extract_all with few matches per row
+    # processes the whole table in one task faster than the repartition
+    # exchange costs (round-6 A/B: 0.45 s vs 0.72 s at sf1.0)
     urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
-    ex = spread_small_input(df.select(id_col, text_col)).select(
-        id_col, F.explode(urls).alias("_url"))
+    ex = df.select(id_col, F.explode(urls).alias("_url"))
     host = F.lower(F.regexp_extract(F.col("_url"), HOST_PATTERN, 1))
     return ex.select(id_col, host.alias("domain")).filter(F.col("domain") != "")
 
