@@ -7,13 +7,19 @@ every pytest run, with the same rowcount + schema + order-insensitive
 value comparison the driver applies to the first 50.
 """
 
+import os
+
 import duckdb
 import pandas as pd
 import pytest
 
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.01"
+# default sf0.01 (per-run budget); the closing ritual exercises sf0.1 too:
+#   OVERFLOW_ORACLE_SF_DIR=/root/testdata/sf0.1 pytest tests/test_overflow_oracles.py
+# (round-5 verdict #8 — the CLAUDE.md invariant is green at BOTH SFs, and
+# the driver only covers in-cap entries at sf0.1)
+SF_DIR = os.environ.get("OVERFLOW_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
