@@ -475,7 +475,9 @@ def q_embedding_neardup(spark, sf_dir):
     # sides) and each read re-ran the planted self-join (round-6)
     derived = TX.spread_small_input(
         _planted_embeddings(spark, sf_dir)).persist()
-    out = DD.embedding_neardup(derived, threshold=0.95, tables=2, planes=8)
+    out = DD.embedding_neardup(derived, threshold=0.95, tables=2, planes=8,
+                               dim=64)  # contract-pinned: the oracle bakes
+    # 64-dim hyperplane literals, so the dim probe job is redundant
     out = out.select("id_a", "id_b")
     out._cached_deps = [derived]
     return out
@@ -496,7 +498,8 @@ def q_semantic_dedup(spark, sf_dir):
     # vertex side reads it once more (round-6)
     derived = TX.spread_small_input(
         _planted_embeddings(spark, sf_dir)).persist()
-    pairs = DD.embedding_neardup(derived, threshold=0.95, tables=2, planes=8)
+    pairs = DD.embedding_neardup(derived, threshold=0.95, tables=2, planes=8,
+                                 dim=64)  # see q_embedding_neardup
     cc = DD.connected_components(pairs, vertices=derived.select("vec_id"))
     out = cc.select(F.col("id").alias("vec_id"),
                     F.col("comp").alias("rep_id"),
