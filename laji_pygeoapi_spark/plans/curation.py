@@ -27,19 +27,31 @@ def _curated_survivors(df: DataFrame, lang: str, min_quality: float,
     *extra_cols)`` that every downstream stage reads (round-3 verdict #1:
     the sub-pipelines each re-scanned + re-tokenized the survivor set).
 
-    Returns ``(survivors, caches)`` — BOTH frames in ``caches`` must reach
-    the caller's ``_cached_deps``.  The scored projection is persisted
-    BEFORE the lang/quality filter: a filter on profile's output columns
-    gets pushed below the staged token projection, substituting the whole
-    lang-ID + quality chain (tokenize inlined ~40x, interpreted) into one
-    per-row Filter on the scan — the cache boundary is the only thing
-    that stops that substitution (round-6 plan audit; the funnel already
-    used this shape, curate/multimodal paid the 9 KB filter)."""
-    scored = (TX.profile(df.select(id_col, text_col, *extra_cols), text_col,
-                         keep_tokens=True)
-              .select(id_col, "n_tokens", "quality", "lang_pred",
-                      "fingerprint", "_toks", *extra_cols)
-              .persist())
+    Returns ``(survivors, caches)`` — every frame in ``caches`` must reach
+    the caller's ``_cached_deps``.  The scored projection is shielded from
+    the lang/quality filter by a GENERATE barrier, not a persist: a filter
+    on profile's output columns gets pushed below the staged token
+    projection, substituting the whole lang-ID + quality chain (tokenize
+    inlined ~40x, interpreted) into one per-row Filter on the scan
+    (round-6 plan audit).  Wrapping the scored columns in
+    ``explode_outer(array(struct(...)))`` stops that: predicates on
+    generator OUTPUT attributes cannot be pushed below the Generate, and
+    outer generates are exempt from InferFiltersFromGenerate (the gopher
+    lesson).  The array is a literal singleton of a non-null struct, so
+    the generate is row-for-row and null-free — and unlike the round-6
+    persist barrier it costs no cache materialization (scored has exactly
+    one consumer; measured ~0.5-0.8 s per curation query at the 10x
+    corpus)."""
+    scored_cols = ["n_tokens", "quality", "lang_pred", "fingerprint",
+                   "_toks", *extra_cols]
+    prof = TX.profile(df.select(id_col, text_col, *extra_cols), text_col,
+                      keep_tokens=True)
+    scored = (prof.select(
+                  id_col,
+                  F.explode_outer(F.array(F.struct(
+                      *[F.col(c) for c in scored_cols]))).alias("_p"))
+              .select(id_col,
+                      *[F.col(f"_p.{c}").alias(c) for c in scored_cols]))
     kept = scored.filter((F.col("lang_pred") == lang)
                          & (F.col("quality") >= min_quality))
     # exact dedup keyed on the 64-bit fingerprint of the normalized token
@@ -50,7 +62,7 @@ def _curated_survivors(df: DataFrame, lang: str, min_quality: float,
                  .filter(F.col("_rn") == 1).drop("_rn"))
     surv = exact.select(id_col, "n_tokens", "quality", "_toks",
                         *extra_cols).persist()
-    return surv, [scored, surv]
+    return surv, [surv]
 
 
 def release_caches(df: DataFrame) -> None:
