@@ -26,6 +26,20 @@ def get_spark(app: str = "laji-pygeoapi-spark", master: str | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor (default 1 MiB) merges any sub-MiB shuffle
+        # down to 1-2 partitions, which serializes GENERATOR-AMPLIFYING
+        # stages that read them: a grouped LSH-bucket frame is a few
+        # hundred KB but explodes into millions of candidate pairs, and
+        # the explode then runs on one core (measured 1.72 s -> 0.88 s for
+        # the pair stage at the 10x corpus with a 16 KiB floor).  The
+        # floor only binds for shuffles below 1 MiB at ANY scale — big
+        # shuffles are governed by the 64 MiB advisory — and
+        # parallelismFirst=true (Spark's default, kept) already states the
+        # parallelism-over-size preference this floor was capping.
+        # Parameterised for clusters where sub-MiB shuffles should still
+        # merge harder (pure-metadata stages): SPARK_AQE_MIN_PARTITION_SIZE.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_AQE_MIN_PARTITION_SIZE", "16k"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
