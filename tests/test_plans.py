@@ -117,3 +117,61 @@ def test_every_driver_query_has_an_oracle():
     q = set(entry.queries())
     o = set(entry.oracle_sql())
     assert q == o, f"missing oracles: {q - o}; orphan oracles: {o - q}"
+
+
+def test_cc_symmetrization_single_edge_evaluation(spark):
+    """Round-6 second session: connected_components must symmetrize the
+    edge input in ONE pass (explode of fwd+rev structs), not as
+    union(edges, swapped) — the union form re-evaluated the upstream
+    pair pipeline once per branch inside the sizing count.  Gate: the
+    analyzed plan of the symmetrized frame contains exactly one
+    occurrence of a marker column from the edge input, and both CC paths
+    agree on a chain + isolated vertex graph."""
+    from laji_pygeoapi_spark.operators import dedup as DD
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)],
+                                  "id_a long, id_b long")
+    verts = spark.createDataFrame([(1,), (2,), (3,), (5,), (6,), (9,)],
+                                  "vec_id long")
+    expect = [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (9, 9)]
+    fast = DD.connected_components(edges, vertices=verts)
+    assert [(r.id, r.comp) for r in fast.orderBy("id").collect()] == expect
+    for dep in getattr(fast, "_cached_deps", []):
+        dep.unpersist()
+    slow = DD.connected_components(edges, vertices=verts,
+                                   small_graph_max_edges=0)
+    assert [(r.id, r.comp) for r in slow.orderBy("id").collect()] == expect
+    for dep in getattr(slow, "_cached_deps", []):
+        dep.unpersist()
+    # single-evaluation gate: tag the edge frame with an expensive-looking
+    # marker expression and count its occurrences in the optimized plan of
+    # the symmetrized explode (one Generate -> the marker appears once per
+    # side inside ONE project, never duplicated into two union branches)
+    marked = edges.withColumn("id_a", F.col("id_a") + F.xxhash64(F.lit("m4rk")) * 0)
+    und = marked.select(F.explode(F.array(
+        F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))))
+        .alias("_e")).select("_e.src", "_e.dst").distinct()
+    plan = und._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("m4rk") <= 1, plan
+
+
+def test_curation_head_generate_barrier(spark):
+    """Round-6 second session: the curation head's pushdown barrier is an
+    outer generate, not a persist.  Gates: (a) exactly ONE tokenizer
+    ArrowEvalPython in curate()'s plan up to the survivor projection —
+    a second one means the lang/quality filter was substituted through
+    the token staging again; (b) the filter condition stays a bounded
+    field extraction (no inlined array_intersect language-ID chain)."""
+    from laji_pygeoapi_spark.plans import curation as CUR
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    surv, caches = CUR._curated_survivors(docs, "en", 0.6, "text", "doc_id")
+    plan = _plan(surv, "simple")
+    try:
+        assert "BatchEvalPython" not in plan
+        assert plan.count("ArrowEvalPython") == 1, plan.count("ArrowEvalPython")
+        # the language-ID chain must not be inlined into a Filter: its
+        # array_intersect calls appear once in the staged projection only
+        assert plan.count("array_intersect") <= 6
+    finally:
+        for dep in caches:
+            dep.unpersist()

@@ -132,8 +132,11 @@ src = f"/root/repo/.data/bench_docs_{rows}"
 if not os.path.exists(os.path.join(src, "_SUCCESS")):
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     n_base = base.count()
-    reps = max(1, rows // n_base)
-    rep = spark.range(reps).select(F.col("id").alias("rep"))
+    # NOTE: do not shadow `reps` (the timing repetition count) — a fresh
+    # corpus build used to rebind it to the replica count, silently
+    # running the timing loop rows/n_base times (50x at 250k rows)
+    n_replicas = max(1, rows // n_base)
+    rep = spark.range(n_replicas).select(F.col("id").alias("rep"))
     (base.crossJoin(rep)
          .select((F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
                  F.concat(F.col("text"), F.lit(" replica"),
